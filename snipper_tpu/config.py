@@ -1,0 +1,161 @@
+"""Single dataclass configuration consumed by every entry point.
+
+The reference spreads ~70 argparse flags over three CLIs (reference
+``main.py:20-153``, ``eval.py``, ``inference.py``); here one frozen dataclass
+holds the same knobs with the same defaults, plus named presets matching the
+reference's shipped configurations (reference ``README.md:30-37``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- snippet geometry -------------------------------------------------
+    num_frames: int = 4            # T observed frames
+    num_future_frames: int = 2     # T_f forecast frames
+    seq_max_gap: int = 4
+    seq_min_gap: int = 4
+    input_height: int = 600
+    input_width: int = 800
+    max_depth: float = 15.0        # metres; -1 disables depth losses
+
+    # --- backbone ---------------------------------------------------------
+    backbone: str = "resnet50"
+    dilation: bool = False
+    num_feature_levels: int = 3    # 3 backbone taps; >3 adds stride-2 extras
+
+    # --- transformer ------------------------------------------------------
+    hidden_dim: int = 192
+    nheads: int = 8
+    enc_layers: int = 1
+    dec_layers: int = 2
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    num_queries: int = 60
+    num_kpts: int = 15
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    aux_loss: bool = True
+
+    # --- deformable attention implementation ------------------------------
+    # "xla"   : pure-JAX gather-based sampling (reference-parity fallback,
+    #           mirrors reference use_pytorch_deform=1)
+    # "pallas": fused Pallas TPU kernel
+    deform_impl: str = "xla"
+
+    # --- matcher costs (reference main.py:110-121) -------------------------
+    set_cost_is_human: float = 1.0
+    set_cost_root: float = 1.0
+    set_cost_root_depth: float = 1.0
+    set_cost_root_vis: float = 0.1
+    set_cost_joint: float = 1.0
+    set_cost_joint_depth: float = 1.0
+    set_cost_joint_vis: float = 0.1
+
+    # --- loss coefficients (reference main.py:129-148) ---------------------
+    is_human_loss_coef: float = 1.0
+    root_loss_coef: float = 1.0
+    root_depth_loss_coef: float = 1.0
+    root_vis_loss_coef: float = 0.1
+    joint_loss_coef: float = 1.0
+    joint_depth_loss_coef: float = 1.0
+    joint_vis_loss_coef: float = 1.0
+    joint_disp_loss_coef: float = 1.0
+    joint_disp_depth_loss_coef: float = 1.0
+    cont_loss_coef: float = 0.1
+    heatmap_loss_coef: float = 0.01
+    eos_coef: float = 0.5
+
+    # --- optimization (reference main.py:22-32, 201-222) -------------------
+    lr: float = 1e-4
+    lr_backbone: float = 1e-5
+    lr_linear_proj_mult: float = 0.1
+    batch_size: int = 2            # per device
+    weight_decay: float = 1e-4
+    epochs: int = 40
+    lr_drop: int = 30
+    clip_max_norm: float = 0.1
+    seed: int = 42
+
+    # --- padding for jit-static target shapes ------------------------------
+    # the reference carries ragged per-sample target lists; we pad persons to
+    # a fixed maximum with validity masks so the whole step stays in one XLA
+    # program (SURVEY.md §7.3 item 3)
+    max_persons: int = 32
+
+    # --- parallelism -------------------------------------------------------
+    dp_size: int = -1              # -1: all remaining devices
+    tp_size: int = 1               # model/tensor axis (heads + ffn sharding)
+
+    # --- misc --------------------------------------------------------------
+    dtype: str = "float32"         # activation dtype: float32 | bfloat16
+
+    # ------------------------------------------------------------------ api
+    @property
+    def total_frames(self) -> int:
+        return self.num_frames + self.num_future_frames
+
+    @property
+    def input_shape(self) -> Tuple[int, int]:
+        return (self.input_height, self.input_width)
+
+    @property
+    def depth_enabled(self) -> bool:
+        return self.max_depth > 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------- presets
+    @staticmethod
+    def canonical_t4() -> "Config":
+        """T=4 tracking config of the shipped checkpoints
+        (reference README.md:43-57: enc=6/dec=6, hidden=384)."""
+        return Config(num_frames=4, num_future_frames=0, hidden_dim=384,
+                      enc_layers=6, dec_layers=6)
+
+    @staticmethod
+    def canonical_t4_f2() -> "Config":
+        """T=4+2 forecasting config (reference README.md:30-37)."""
+        return Config(num_frames=4, num_future_frames=2, hidden_dim=384,
+                      enc_layers=6, dec_layers=6)
+
+    @staticmethod
+    def canonical_t1() -> "Config":
+        """T=1 single-frame config."""
+        return Config(num_frames=1, num_future_frames=0, hidden_dim=384,
+                      enc_layers=6, dec_layers=6, seq_min_gap=1)
+
+    @staticmethod
+    def light_t4_f2() -> "Config":
+        """enc=2/dec=4 light variant of the shipped checkpoints."""
+        return Config(num_frames=4, num_future_frames=2, hidden_dim=384,
+                      enc_layers=2, dec_layers=4)
+
+    @staticmethod
+    def jta_forecast() -> "Config":
+        """JTA forecasting recipe (reference README.md:129-187)."""
+        return Config(num_frames=4, num_future_frames=2, hidden_dim=384,
+                      enc_layers=6, dec_layers=6, input_height=540,
+                      input_width=960, max_depth=60.0, epochs=100, lr_drop=90)
+
+    @staticmethod
+    def panoptic() -> "Config":
+        """CMU-Panoptic recipe (reference README.md:192-250)."""
+        return Config(num_frames=4, num_future_frames=2, hidden_dim=384,
+                      enc_layers=6, dec_layers=6, input_height=540,
+                      input_width=960, max_depth=5.0, num_queries=20,
+                      epochs=10, lr_drop=8, seq_min_gap=10, seq_max_gap=10)
+
+    @staticmethod
+    def tiny() -> "Config":
+        """Small config for unit tests / CPU runs."""
+        return Config(num_frames=2, num_future_frames=1, hidden_dim=96,
+                      enc_layers=1, dec_layers=2, dim_feedforward=128,
+                      num_queries=8, input_height=64, input_width=96,
+                      max_persons=4, nheads=4, batch_size=1)

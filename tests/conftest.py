@@ -1,0 +1,14 @@
+"""Test configuration: force an 8-virtual-device CPU platform so multi-chip
+sharding is exercised without TPU hardware (the TPU-native analog of a fake
+distributed backend — SURVEY.md §4)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

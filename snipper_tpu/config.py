@@ -158,4 +158,5 @@ class Config:
         return Config(num_frames=2, num_future_frames=1, hidden_dim=96,
                       enc_layers=1, dec_layers=2, dim_feedforward=128,
                       num_queries=8, input_height=64, input_width=96,
-                      max_persons=4, nheads=4, batch_size=1)
+                      max_persons=4, nheads=4, batch_size=1,
+                      backbone="resnet_test")

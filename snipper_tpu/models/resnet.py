@@ -1,0 +1,118 @@
+"""ResNet backbone with frozen BatchNorm, NHWC, multi-scale taps.
+
+TPU-native counterpart of the reference backbone (reference
+``models/backbone.py:27-111``): torchvision resnet50 with
+``FrozenBatchNorm2d`` (batch statistics and affine parameters fixed,
+``backbone.py:54-64``), returning layer2/3/4 features with strides
+[8, 16, 32] and channels [512, 1024, 2048] (``backbone.py:78-80``).
+
+Design notes:
+- NHWC layout throughout (TPU conv layout); the torch→JAX weight converter
+  transposes OIHW→HWIO.
+- Frozen BN keeps the four torch buffers (``scale = w / sqrt(var + eps)``,
+  ``bias = b - mean * scale`` recomputed on the fly, exactly
+  ``backbone.py:54-64``) so converted checkpoints load unchanged; the
+  optimizer masks these out of training (see ``param_labels`` in
+  snipper_tpu.train.state).
+- Module/param naming mirrors torchvision (``conv1``, ``bn1``,
+  ``layer{1..4}.{i}.conv{1..3}`` …) to keep the checkpoint mapping 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine params (never trained)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = weight * jax.lax.rsqrt(var + self.eps)
+        shift = bias - mean * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+    pad = (kernel - 1) // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=False, name=name)
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + residual."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, self.stride, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            identity = _conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101 trunk returning the layer2/3/4 taps (strides 8/16/32)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)  # resnet50
+    return_interm: bool = True
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        # x: [N, H, W, 3]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        taps = []
+        planes = (64, 128, 256, 512)
+        for stage in range(4):
+            stride = 1 if stage == 0 else 2
+            for blk in range(self.layers[stage]):
+                x = Bottleneck(
+                    planes[stage],
+                    stride=stride if blk == 0 else 1,
+                    downsample=(blk == 0),
+                    name=f"layer{stage + 1}_{blk}",
+                )(x)
+            if stage >= 1:
+                taps.append(x)
+        if self.return_interm:
+            return tuple(taps)           # strides 8, 16, 32
+        return (taps[-1],)
+
+
+RESNET_SPECS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    # one bottleneck per stage — unit tests only (same strides/channels)
+    "resnet_test": (1, 1, 1, 1),
+}
+
+BACKBONE_CHANNELS = {True: (512, 1024, 2048), False: (2048,)}
+BACKBONE_STRIDES = {True: (8, 16, 32), False: (32,)}

@@ -1,0 +1,63 @@
+"""Shape/structure tests of the full Snipper model (tiny config).
+
+All tests share two jitted signatures (with/without mask) to keep CPU compile
+time bounded.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from snipper_tpu.config import Config
+from snipper_tpu.models.snipper import init_model
+
+B = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config.tiny()
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    fwd_mask = jax.jit(lambda p, x, m: model.apply({"params": p}, x, m))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(
+        0, 1, (B, cfg.num_frames, cfg.input_height, cfg.input_width, 3)),
+        jnp.float32)
+    return cfg, fwd, fwd_mask, params, imgs
+
+
+def test_forward_shapes(setup):
+    cfg, fwd, _, params, imgs = setup
+    out = fwd(params, imgs)
+
+    T1 = cfg.total_frames
+    q, K = cfg.num_queries, cfg.num_kpts
+    assert out["pred_logits"].shape == (B, q, T1, 2)
+    assert out["pred_kpts2d"].shape == (B, q, T1, K, 3)
+    assert out["pred_depth"].shape == (B, q, T1, K, 1)
+    assert out["aux_logits"].shape == (cfg.dec_layers - 1, B, q, T1, 2)
+    # root channels pass through a sigmoid
+    root = out["pred_kpts2d"][:, :, :, 0]
+    assert float(jnp.min(root)) >= 0.0 and float(jnp.max(root)) <= 1.0
+    # heatmaps: one per level with head/keypoint split; level 0 is stride 8
+    assert len(out["heatmaps"]) == cfg.num_feature_levels
+    h0 = out["heatmaps"][0]
+    assert h0.shape == (B, cfg.num_frames, cfg.input_height // 8,
+                        cfg.input_width // 8, cfg.nheads, K)
+    for v in jax.tree.leaves(out):
+        assert bool(jnp.isfinite(v).all())
+
+
+def test_padding_mask_changes_output(setup):
+    cfg, fwd, fwd_mask, params, imgs = setup
+    mask = np.zeros((B, cfg.num_frames, cfg.input_height, cfg.input_width),
+                    bool)
+    mask[:, :, :, cfg.input_width // 2:] = True  # right half padded
+    o1 = fwd(params, imgs)
+    o2 = fwd_mask(params, imgs, jnp.asarray(mask))
+    assert not np.allclose(np.asarray(o1["pred_kpts2d"]),
+                           np.asarray(o2["pred_kpts2d"]))
+    for v in jax.tree.leaves(o2):
+        assert bool(jnp.isfinite(v).all())

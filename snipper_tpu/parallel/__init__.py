@@ -1,0 +1,5 @@
+from snipper_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)

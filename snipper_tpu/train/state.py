@@ -1,0 +1,89 @@
+"""Optimizer (3 learning-rate groups + global clip) and train state.
+
+Mirrors reference ``main.py:201-222``: AdamW with
+- backbone params at ``lr_backbone`` (1e-5),
+- ``reference_points`` / ``sampling_offsets`` projections at ``lr * 0.1``,
+- everything else at ``lr``,
+global-norm gradient clipping at 0.1 (reference ``engine.py:74-76``), and a
+StepLR drop of 10x at ``lr_drop`` epochs (``main.py:222``). Additionally the
+frozen set (FrozenBN buffers, conv1/layer1 — reference
+``models/backbone.py:71-73``) receives zero updates.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from snipper_tpu.config import Config
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def param_label(path) -> str:
+    """Label a parameter path: frozen | backbone | proj | main."""
+    names = [getattr(p, "key", str(p)) for p in path]
+    if names and names[0] == "backbone":
+        # FrozenBN buffers are never trained; neither are the stem
+        # (conv1/bn1) or layer1 (reference backbone.py:71-73 with
+        # train_backbone=True)
+        if any(n.startswith("bn") or n == "downsample_bn" for n in names):
+            return "frozen"
+        if len(names) > 1 and (names[1] in ("conv1", "bn1")
+                               or names[1].startswith("layer1_")):
+            return "frozen"
+        return "backbone"
+    if any(n in ("sampling_offsets", "reference_points") for n in names):
+        return "proj"
+    return "main"
+
+
+def step_lr(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int,
+            gamma: float = 0.1) -> Callable:
+    """StepLR as a per-step schedule."""
+
+    def sched(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * gamma ** (epoch // lr_drop_epochs)
+
+    return sched
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
+    def adamw(lr_fn):
+        return optax.adamw(lr_fn, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=cfg.weight_decay)
+
+    group_tx = {
+        "frozen": optax.set_to_zero(),
+        "backbone": adamw(step_lr(cfg.lr_backbone, cfg.lr_drop,
+                                  steps_per_epoch)),
+        "proj": adamw(step_lr(cfg.lr * cfg.lr_linear_proj_mult, cfg.lr_drop,
+                              steps_per_epoch)),
+        "main": adamw(step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)),
+    }
+
+    def labels(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: param_label(path), params)
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.clip_max_norm),
+        optax.multi_transform(group_tx, labels),
+    )
+
+
+def create_train_state(cfg: Config, params,
+                       steps_per_epoch: int = 1000) -> tuple:
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    return state, tx

@@ -1,0 +1,88 @@
+"""Jitted train / eval steps over a device mesh.
+
+One XLA program per step: forward, device-side Hungarian matching, losses,
+backward, global-norm clip, AdamW — with the batch sharded over the mesh's
+``data`` axis. Gradient/metric combination across devices is inserted by XLA
+(the TPU-native replacement for the reference's DDP all-reduce +
+``reduce_dict``, reference ``engine.py:59,73``).
+
+Global-batch loss semantics: the criterion sees the whole (global) batch, so
+``num_traj`` is the global trajectory count — numerically equivalent to the
+reference's ``all_reduce(num_traj)/world_size`` + DDP gradient averaging
+(reference ``models/model.py:521-526``), up to its per-rank ``min=1`` clamp.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from snipper_tpu.losses.criterion import SetCriterion
+from snipper_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model,
+    criterion: SetCriterion,
+    tx,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns ``step(state, batch, rng) -> (state, metrics)``.
+
+    ``batch``: dict with ``images [B, T, H, W, 3]``, optional
+    ``mask [B, T, H, W]``, and padded ``targets`` (kpts2d/depth/valid).
+    """
+
+    def step(state: TrainState, batch: Dict, rng) -> tuple:
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch["images"],
+                              batch.get("mask"), train=True,
+                              rngs={"dropout": rng})
+            total, losses, _ = criterion(out, batch["targets"])
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss_total": total,
+                   "grad_norm": optax.global_norm(grads), **losses}
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    # With a mesh, shardings are carried by the arguments themselves: place
+    # the state with ``replicate(state, mesh)`` (or TP param_shardings) and
+    # the batch with ``shard_batch(batch, mesh)``; jit propagates them and
+    # inserts the cross-device collectives.
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place a host batch with its leading axis sharded over ``data``."""
+    data = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
+
+
+def make_eval_step(model, criterion: SetCriterion) -> Callable:
+    """Forward + criterion (for losses and match indices, reference
+    ``engine.py:117-129``) without gradient."""
+
+    def step(params, batch):
+        out = model.apply({"params": params}, batch["images"],
+                          batch.get("mask"))
+        total, losses, src_idx = criterion(out, batch["targets"])
+        return out, {"loss_total": total, **losses}, src_idx
+
+    return jax.jit(step)

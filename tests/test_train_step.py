@@ -1,0 +1,108 @@
+"""End-to-end train step on an 8-virtual-device CPU mesh: loss decreases,
+frozen params stay frozen, LR groups behave, dp sharding executes."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from snipper_tpu.config import Config
+from snipper_tpu.losses.criterion import SetCriterion
+from snipper_tpu.models.snipper import init_model
+from snipper_tpu.parallel.mesh import make_mesh
+from snipper_tpu.train.state import create_train_state, param_label
+from snipper_tpu.train.step import make_train_step, replicate, shard_batch
+
+
+def _synthetic_batch(cfg, B, rng):
+    T1, K, M = cfg.total_frames, cfg.num_kpts, cfg.max_persons
+    imgs = rng.uniform(0, 1, (B, cfg.num_frames, cfg.input_height,
+                              cfg.input_width, 3)).astype(np.float32)
+    kpts = np.zeros((B, M, T1, K, 3), np.float32)
+    depth = np.zeros((B, M, T1, K, 2), np.float32)
+    valid = np.zeros((B, M), bool)
+    for b in range(B):
+        m = 1 + rng.integers(0, 2)
+        kpts[b, :m, ..., 0:2] = rng.uniform(0.2, 0.8, (m, T1, K, 2))
+        kpts[b, :m, ..., 2] = 1.0
+        depth[b, :m, ..., 0] = rng.uniform(0.1, 0.9, (m, T1, K))
+        depth[b, :m, ..., 1] = 1.0
+        valid[b, :m] = True
+    return {"images": jnp.asarray(imgs),
+            "targets": {"kpts2d": jnp.asarray(kpts),
+                        "depth": jnp.asarray(depth),
+                        "valid": jnp.asarray(valid)}}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config.tiny()
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    crit = SetCriterion(cfg)
+    state, tx = create_train_state(cfg, params, steps_per_epoch=10)
+    mesh = make_mesh(dp_size=8, tp_size=1)
+    step = make_train_step(model, crit, tx, mesh, donate=False)
+    batch = _synthetic_batch(cfg, 8, np.random.default_rng(0))
+    return cfg, state, step, mesh, batch
+
+
+def test_train_step_runs_and_loss_decreases(setup):
+    cfg, state, step, mesh, batch = setup
+    assert len(mesh.devices.flatten()) == 8
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss_total"]))
+    assert np.isfinite(losses).all()
+    # overfit a fixed batch: loss must drop
+    assert losses[-1] < losses[0], losses
+
+
+def test_frozen_params_stay_frozen(setup):
+    cfg, state, step, mesh, batch = setup
+    state_r = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    new_state, _ = step(state_r, batch, jax.random.PRNGKey(2))
+
+    flat0 = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    n_frozen = n_trained_changed = 0
+    for (path0, v0), (path1, v1) in zip(flat0, flat1):
+        label = param_label(path0)
+        changed = not np.allclose(np.asarray(v0), np.asarray(v1))
+        if label == "frozen":
+            assert not changed, path0
+            n_frozen += 1
+        elif changed:
+            n_trained_changed += 1
+    assert n_frozen > 10          # BN buffers + layer1 exist
+    assert n_trained_changed > 10  # training actually updates
+
+
+def test_param_labels():
+    from snipper_tpu.models.snipper import init_model as im
+    cfg = Config.tiny()
+    _, params = im(cfg, jax.random.PRNGKey(0))
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: param_label(p), params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    joined = {"/".join(getattr(k, "key", str(k)) for k in path): v
+              for path, v in flat}
+    # spot checks
+    assert any(k.startswith("backbone/conv1") and v == "frozen"
+               for k, v in joined.items())
+    assert any("layer2_0/conv1" in k and v == "backbone"
+               for k, v in joined.items())
+    assert any("sampling_offsets" in k and v == "proj"
+               for k, v in joined.items())
+    assert any("reference_points" in k and v == "proj"
+               for k, v in joined.items())
+    assert joined["query_embed"] == "main"
+    # all BN buffers frozen
+    for k, v in joined.items():
+        if "running_mean" in k or "running_var" in k:
+            assert v == "frozen", k

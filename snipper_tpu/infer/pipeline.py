@@ -1,0 +1,205 @@
+"""Video inference pipeline: snippet sampling + cross-snippet association.
+
+Counterpart of reference ``inference_utils.py``:
+- ``load_snippet_samples`` — frame listing, snippet index stride
+  ``gap * (T - 1)`` so consecutive snippets OVERLAP by exactly one frame,
+  center-affine resize to the input shape (reference ``:143-195``).
+- ``associate_snippets`` — greedy bidirectional-argmin identity propagation
+  over the shared frame via a normalized L2 match cost on (kpts, depth,
+  score); unmatched detections get fresh person ids; matched poses on the
+  overlap are score-weighted averaged (reference ``:198-339``).
+- ``compute_match_cost`` / ``bbox_2d_padded`` (reference ``:98-139``).
+
+cv2-free: PIL decodes frames, the affine warp comes from
+snipper_tpu.data.transforms.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from snipper_tpu.data.transforms import (gen_trans_from_patch,
+                                         generate_patch_image)
+
+
+def transform_pts_np(pts: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    ones = np.ones_like(pts[..., 0:1])
+    return np.concatenate([pts, ones], -1) @ np.asarray(trans).T
+
+
+def compute_match_cost(pre: np.ndarray, cur: np.ndarray, h: float, w: float,
+                       max_depth: float) -> np.ndarray:
+    """Normalized squared L2 over (x, y, depth, 0.1*score) summed over
+    keypoints; ``pre [m, K, 4]``, ``cur [n, K, 4]`` -> ``[m, n]``."""
+    d = pre[:, None] - cur[None, :]
+    d = d * np.array([1.0 / w, 1.0 / h, 1.0 / max_depth, 0.1])
+    return np.sum(d ** 2, axis=(-1, -2))
+
+
+def bbox_2d_padded(pose: np.ndarray, h_inc_perc=0.15, w_inc_perc=0.1):
+    """Padded bbox around visible keypoints; ``pose [K, >=4]`` with
+    visibility/score in column 3."""
+    vis = pose[:, 3]
+    if np.sum(vis > 0) < 2:
+        return [0, 0, 0, 0]
+    kp = pose[vis > 0, 0:2]
+    x_min, y_min = kp[:, 0].min(), kp[:, 1].min()
+    x_max, y_max = kp[:, 0].max(), kp[:, 1].max()
+    inc_h = (y_max - y_min) * h_inc_perc / 2
+    inc_w = (x_max - x_min) * w_inc_perc / 2
+    x_min, x_max = x_min - inc_w, x_max + inc_w
+    y_min, y_max = y_min - inc_h, y_max + inc_h
+    return [int(x_min), int(y_min), int(x_max - x_min), int(y_max - y_min)]
+
+
+def _read_rgb(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
+                         input_shape: Tuple[int, int]):
+    """Sample overlapping snippets from a frame directory.
+
+    Snippet start stride is ``gap * (T - 1)`` (``gap`` when T == 1), so the
+    last frame of snippet k is the first frame of snippet k+1.
+
+    Returns (samples, frame_indices, all_files); each sample dict has
+    ``imgs [T, H, W, 3]`` float32 in [0, 1], ``inv_trans``, ``filenames``,
+    ``input_size`` (w, h), ``img_size`` (w, h).
+    """
+    skip = gap if num_frames == 1 else gap * (num_frames - 1)
+    all_files = sorted(os.listdir(data_dir))
+    h, w = input_shape
+
+    samples, frame_indices = [], []
+    for idx in range(0, len(all_files) - skip, skip):
+        frame_indices.append(idx)
+        filenames = [all_files[idx + gap * t] for t in range(num_frames)]
+        imgs = np.stack([_read_rgb(os.path.join(data_dir, f))
+                         for f in filenames])
+        img_h, img_w = imgs.shape[1:3]
+
+        # center crop-resize covering the input aspect (no augmentation)
+        scale = max(img_w / w, img_h / h)
+        cx, cy = img_w * 0.5, img_h * 0.5
+        trans = gen_trans_from_patch(cx, cy, w * scale, h * scale, w, h, 0.0)
+        inv_trans = gen_trans_from_patch(cx, cy, w * scale, h * scale, w, h,
+                                         0.0, inv=True)
+        patches = np.stack([generate_patch_image(im, False, trans, (h, w))
+                            for im in imgs])
+        samples.append({
+            "imgs": patches.astype(np.float32),
+            "filenames": filenames,
+            "inv_trans": inv_trans.astype(np.float32),
+            "input_size": np.array([w, h], np.float32),
+            "img_size": np.array([img_w, img_h], np.float32),
+        })
+    return samples, frame_indices, all_files
+
+
+def associate_snippets(results: List[Dict], frame_indices: List[int],
+                       all_filenames: List[str], num_frames: int, gap: int,
+                       max_depth: float):
+    """Stitch per-snippet detections into video-level identities.
+
+    ``results[k]`` is a per-snippet dict with ``human_score [n, T]``,
+    ``pred_kpt_scores/pred_kpts/pred_depth``, ``inv_trans``, ``img_size``,
+    ``filenames`` (PostProcess schema, pixel/metric space).
+
+    Returns ``(all_frames_results, max_pid)`` where
+    ``all_frames_results[frame_idx] = (pids [m], frame_data [m, K, 4])``
+    with columns (x, y, depth, score) and the root replaced by the hip
+    midpoint.
+    """
+    all_frames: Dict[int, tuple] = {}
+    max_pid = 0
+
+    def frame_block(kpts, scores, depth, inv_trans):
+        k = transform_pts_np(kpts, inv_trans)
+        data = np.concatenate([k, depth, scores], axis=-1)  # [m, K, 4]
+        if data.shape[0]:
+            data[:, 0, :] = (data[:, 9, :] + data[:, 10, :]) / 2
+        return data
+
+    for s_idx, res in enumerate(results):
+        pred_human = np.asarray(res["human_score"]) > 0.5      # [nq, T]
+        exist = pred_human.sum(1) > 0
+        pred_human = pred_human[exist]
+        scores = np.asarray(res["pred_kpt_scores"])[exist]
+        kpts = np.asarray(res["pred_kpts"])[exist]
+        depth = np.asarray(res["pred_depth"])[exist]
+        inv_trans = np.asarray(res["inv_trans"])
+
+        cur2pre_idx = np.zeros([0], np.int64)
+        if s_idx == 0:
+            n = pred_human.shape[0]
+            seq_pids = np.arange(n)
+            max_pid += n
+        else:
+            frame_idx = frame_indices[s_idx]
+            key = frame_idx if num_frames > 1 else frame_idx - gap
+            pre_pids, pre_data = all_frames.get(key, (np.zeros(0, np.int32),
+                                                      np.zeros((0, 15, 4))))
+            cur_exist = pred_human[:, 0]
+            cur_data = frame_block(kpts[cur_exist, 0], scores[cur_exist, 0],
+                                   depth[cur_exist, 0], inv_trans)
+
+            if cur_data.shape[0] == 0 or pre_data.shape[0] == 0:
+                seq_pids = np.full(cur_exist.shape[0], -1, np.int32)
+                miss = int((seq_pids == -1).sum())
+                seq_pids[seq_pids == -1] = np.arange(miss) + max_pid
+                max_pid += miss
+            else:
+                w, h = np.asarray(res["img_size"])
+                cost = compute_match_cost(pre_data, cur_data, h, w, max_depth)
+                # greedy bidirectional argmin: a pair matches only if each is
+                # the other's nearest
+                pre2cur = np.argmin(cost, axis=1)
+                mask = np.full(cost.shape, np.inf)
+                mask[np.arange(len(pre2cur)), pre2cur] = 1
+                masked = cost * mask
+                cur_no_match = (mask != np.inf).sum(0) == 0
+                cur2pre_idx = np.argmin(masked, axis=0)
+                cur2pre_idx[cur_no_match] = -1
+
+                cur_pids = np.full(len(cur2pre_idx), -1, np.int32)
+                for i, p in enumerate(cur2pre_idx):
+                    if p == -1:
+                        cur_pids[i] = max_pid
+                        max_pid += 1
+                    else:
+                        cur_pids[i] = pre_pids[p]
+                seq_pids = np.full(cur_exist.shape[0], -1, np.int32)
+                seq_pids[cur_exist] = cur_pids
+                miss = int((seq_pids == -1).sum())
+                seq_pids[seq_pids == -1] = np.arange(miss) + max_pid
+                max_pid += miss
+
+        for t in range(num_frames):
+            assert res["filenames"][t] == \
+                all_filenames[frame_indices[s_idx] + t * gap]
+            frame_idx = frame_indices[s_idx] + t * gap
+            ex = pred_human[:, t]
+            data = frame_block(kpts[ex, t], scores[ex, t], depth[ex, t],
+                               inv_trans)
+            # score-weighted pose averaging on the shared (overlap) frame
+            if (t == 0 and s_idx > 0 and cur2pre_idx.shape[0] > 0
+                    and num_frames > 1):
+                key = frame_indices[s_idx]
+                _, pre_data = all_frames[key]
+                valid = cur2pre_idx != -1
+                cur_i = np.arange(len(cur2pre_idx))[valid]
+                pre_i = cur2pre_idx[valid]
+                ps = pre_data[pre_i][:, :, 3:4]
+                cs = data[cur_i][:, :, 3:4]
+                data[cur_i, :, 3:4] = (ps + cs) / 2
+                data[cur_i, :, 0:3] = (
+                    ps * pre_data[pre_i][:, :, 0:3]
+                    + cs * data[cur_i][:, :, 0:3]) / (ps + cs)
+            all_frames[frame_idx] = (seq_pids[ex], data)
+    return all_frames, max_pid

@@ -1,0 +1,50 @@
+"""Camera models: Brown-Conrady distortion-aware projection/unprojection.
+
+Counterpart of the reference camera math (reference
+``datasets/data_preprocess/cmu_panoptic.py:10-79`` and
+``datasets/hybrid_dataloader.py:1416-1448``): standard OpenCV-style radial
+(k1..k3) + tangential (p1, p2) distortion, with the reference's first-order
+inverse approximation for unprojection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def project(xyz: np.ndarray, intr, dist=None, simple_mode: bool = False):
+    """``xyz [..., 3]`` camera-space -> ``[..., 3]`` (u, v, depth)."""
+    fx, fy, cx, cy = np.asarray(intr, np.float64)[:4]
+    z = xyz[..., 2]
+    x_p = xyz[..., 0] / z
+    y_p = xyz[..., 1] / z
+    if simple_mode or dist is None:
+        return np.stack([x_p * fx + cx, y_p * fy + cy, z], -1)
+
+    k1, k2, p1, p2, k3 = np.asarray(dist, np.float64)[:5]
+    r2 = x_p ** 2 + y_p ** 2
+    a = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+    x_pp = x_p * a + 2 * p1 * x_p * y_p + p2 * (r2 + 2 * x_p ** 2)
+    y_pp = y_p * a + p1 * (r2 + 2 * y_p ** 2) + 2 * p2 * x_p * y_p
+    return np.stack([fx * x_pp + cx, fy * y_pp + cy, z], -1)
+
+
+def unproject(uvd: np.ndarray, intr, dist=None, simple_mode: bool = False):
+    """``uvd [..., 3]`` pixel+depth -> camera-space xyz (first-order inverse
+    distortion, identical to the reference approximation)."""
+    fx, fy, cx, cy = np.asarray(intr, np.float64)[:4]
+    z = uvd[..., 2]
+    x_pp = (uvd[..., 0] - cx) / fx
+    y_pp = (uvd[..., 1] - cy) / fy
+    if simple_mode or dist is None:
+        return np.stack([z * x_pp, z * y_pp, z], -1)
+
+    k1, k2, p1, p2, k3 = np.asarray(dist, np.float64)[:5]
+    r2 = x_pp ** 2 + y_pp ** 2
+    a = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+    a = a + (a == 0)
+    x_p = x_pp / a
+    y_p = y_pp / a
+    x = z * (x_p - p2 * (y_p ** 2 + 3 * x_p ** 2) - p1 * 2 * x_p * y_p)
+    y = z * (y_p - p1 * (x_p ** 2 + 3 * y_p ** 2) - p2 * 2 * x_p * y_p)
+    return np.stack([x, y, z], -1)

@@ -1,0 +1,71 @@
+"""Shared CLI argument handling: one parser mapped onto the Config dataclass
+(the reference duplicates ~70 argparse flags across three CLIs,
+``main.py:20-153`` / ``eval.py`` / ``inference.py``; here the flag set is
+generated from Config so the CLIs can never drift)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from snipper_tpu.config import Config
+
+
+def add_config_args(parser: argparse.ArgumentParser):
+    for f in dataclasses.fields(Config):
+        if f.type in ("int", int):
+            parser.add_argument(f"--{f.name}", type=int, default=None)
+        elif f.type in ("float", float):
+            parser.add_argument(f"--{f.name}", type=float, default=None)
+        elif f.type in ("bool", bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s in
+                                ("1", "true", "True"), default=None)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=None)
+
+
+def add_data_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--preset", type=str, default=None,
+                        help="Config preset: canonical_t4, canonical_t4_f2, "
+                             "canonical_t1, light_t4_f2, jta_forecast, "
+                             "panoptic, tiny")
+    parser.add_argument("--posetrack_dir", type=str, default=None)
+    parser.add_argument("--coco_dir", type=str, default=None)
+    parser.add_argument("--muco_dir", type=str, default=None)
+    parser.add_argument("--jta_dir", type=str, default=None)
+    parser.add_argument("--panoptic_dir", type=str, default=None)
+    parser.add_argument("--panoptic_protocol", type=int, default=1)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use the synthetic dataset (smoke/benchmark)")
+    parser.add_argument("--output_dir", type=str, default="./output")
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--pretrained_torch", type=str, default=None,
+                        help="path to a reference .pth checkpoint to import")
+    parser.add_argument("--steps_per_epoch", type=int, default=None)
+
+
+def build_config(args) -> Config:
+    cfg = getattr(Config, args.preset)() if args.preset else Config()
+    overrides = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            overrides[f.name] = v
+    return cfg.replace(**overrides)
+
+
+def build_dataset(cfg: Config, args, mode: str):
+    if args.synthetic or not any((args.posetrack_dir, args.coco_dir,
+                                  args.muco_dir, args.jta_dir,
+                                  args.panoptic_dir)):
+        from snipper_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(cfg, n_samples=64 if mode == "train" else 8,
+                                seed=0 if mode == "train" else 1)
+    from snipper_tpu.data.datasets import HybridDataset
+
+    return HybridDataset(
+        cfg, mode=mode, posetrack_dir=args.posetrack_dir,
+        coco_dir=args.coco_dir, muco_dir=args.muco_dir,
+        jta_dir=args.jta_dir, panoptic_dir=args.panoptic_dir,
+        panoptic_protocol=args.panoptic_protocol)

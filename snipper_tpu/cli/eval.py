@@ -1,0 +1,62 @@
+"""Final evaluation entry point (counterpart of reference ``eval.py``):
+loads a checkpoint, runs the full eval loop, writes PoseTrack/COCO result
+files and prints 3D metrics."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from snipper_tpu.cli.common import (add_config_args, add_data_args,
+                                    build_config, build_dataset)
+from snipper_tpu.data.loader import DataLoader
+from snipper_tpu.losses.criterion import SetCriterion
+from snipper_tpu.models.snipper import init_model
+from snipper_tpu.train.checkpoint import (load_torch_checkpoint,
+                                          restore_checkpoint)
+from snipper_tpu.train.engine import evaluate
+from snipper_tpu.train.step import make_eval_step
+
+
+def main():
+    parser = argparse.ArgumentParser("snipper_tpu evaluator")
+    add_config_args(parser)
+    add_data_args(parser)
+    parser.add_argument("--write_posetrack", action="store_true")
+    args = parser.parse_args()
+    cfg = build_config(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    val_ds = build_dataset(cfg, args, "val")
+    loader = DataLoader(val_ds, cfg.batch_size, shuffle=False,
+                        drop_last=False)
+
+    model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
+    if args.pretrained_torch:
+        params = load_torch_checkpoint(args.pretrained_torch, cfg)
+    elif args.resume:
+        state = restore_checkpoint(args.resume, None)
+        params = state["params"]
+
+    crit = SetCriterion(cfg)
+    eval_step = make_eval_step(model, crit)
+    stats = evaluate(eval_step, params, loader, cfg, collect_results=True)
+    results = stats.pop("_results", [])
+
+    with open(os.path.join(args.output_dir, "eval_stats.json"), "w") as f:
+        json.dump({k: v for k, v in stats.items()}, f, indent=2)
+
+    if args.write_posetrack:
+        from snipper_tpu.eval.posetrack_writer import write_val_results
+
+        write_val_results(results, os.path.join(args.output_dir,
+                                                "posetrack_results"))
+    print(json.dumps({k: round(v, 4) for k, v in stats.items()
+                      if isinstance(v, float)}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

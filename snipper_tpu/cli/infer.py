@@ -1,0 +1,91 @@
+"""Video demo entry point (counterpart of reference ``inference.py``):
+snippet-wise forward over a frame directory, cross-snippet association, and
+2D/3D visualization renders."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snipper_tpu.cli.common import add_config_args, build_config
+from snipper_tpu.infer.pipeline import associate_snippets, load_snippet_samples
+from snipper_tpu.models.snipper import init_model
+from snipper_tpu.train.checkpoint import (load_torch_checkpoint,
+                                          restore_checkpoint)
+
+
+def main():
+    parser = argparse.ArgumentParser("snipper_tpu inference")
+    add_config_args(parser)
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="directory of video frames")
+    parser.add_argument("--output_dir", type=str, default="./demo_out")
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--pretrained_torch", type=str, default=None)
+    parser.add_argument("--seq_gap", type=int, default=5)
+    parser.add_argument("--save_visuals", action="store_true")
+    parser.add_argument("--preset", type=str, default="canonical_t4")
+    args = parser.parse_args()
+    cfg = build_config(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    if args.pretrained_torch:
+        params = load_torch_checkpoint(args.pretrained_torch, cfg)
+    elif args.resume:
+        params = restore_checkpoint(args.resume, None)["params"]
+
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    samples, frame_indices, all_files = load_snippet_samples(
+        args.data_dir, cfg.num_frames, args.seq_gap, cfg.input_shape)
+    print(f"{len(samples)} snippets over {len(all_files)} frames", flush=True)
+
+    results = []
+    w, h = float(cfg.input_width), float(cfg.input_height)
+    for s in samples:
+        out = fwd(params, jnp.asarray(s["imgs"])[None])
+        logits = np.asarray(out["pred_logits"][0])     # [q, T, 2]
+        kpts = np.asarray(out["pred_kpts2d"][0])       # [q, T, K, 3]
+        depth = np.asarray(out["pred_depth"][0])       # [q, T, K, 1]
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        prob = (e / e.sum(-1, keepdims=True))[..., 1]
+        d = depth.copy()
+        d[:, :, 1:] = d[:, :, 0:1] + d[:, :, 1:] / cfg.max_depth
+        d *= cfg.max_depth
+        k2 = kpts[..., 0:2].copy()
+        k2[:, :, 1:] = k2[:, :, :1] + k2[:, :, 1:]
+        k2 *= np.array([w, h])
+        results.append({
+            "human_score": prob,
+            "pred_kpt_scores": kpts[..., 2:3],
+            "pred_kpts": k2,
+            "pred_depth": d,
+            "inv_trans": s["inv_trans"],
+            "img_size": s["img_size"],
+            "filenames": s["filenames"],
+        })
+
+    frames, max_pid = associate_snippets(
+        results, frame_indices, all_files, cfg.num_frames, args.seq_gap,
+        cfg.max_depth)
+    print(f"tracked {max_pid} identities over {len(frames)} frames",
+          flush=True)
+    with open(os.path.join(args.output_dir, "tracks.pkl"), "wb") as f:
+        pickle.dump({"frames": frames, "max_pid": max_pid}, f)
+
+    if args.save_visuals:
+        from snipper_tpu.infer.visualize import save_visual_results
+
+        save_visual_results(frames, all_files, args.data_dir,
+                            args.output_dir, max_pid, cfg.max_depth)
+    print(f"results written to {args.output_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Training entry point (counterpart of reference ``main.py``).
+
+Example (synthetic smoke run):
+    python -m snipper_tpu.cli.train --preset tiny --synthetic --epochs 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from snipper_tpu.cli.common import (add_config_args, add_data_args,
+                                    build_config, build_dataset)
+from snipper_tpu.data.loader import DataLoader
+from snipper_tpu.losses.criterion import SetCriterion
+from snipper_tpu.models.snipper import init_model
+from snipper_tpu.parallel.mesh import make_mesh
+from snipper_tpu.train.checkpoint import (load_torch_checkpoint,
+                                          restore_checkpoint,
+                                          save_checkpoint)
+from snipper_tpu.train.engine import evaluate, train_one_epoch
+from snipper_tpu.train.state import create_train_state, step_lr
+from snipper_tpu.train.step import (make_eval_step, make_train_step,
+                                    replicate, shard_batch)
+
+
+def main():
+    parser = argparse.ArgumentParser("snipper_tpu trainer")
+    add_config_args(parser)
+    add_data_args(parser)
+    parser.add_argument("--eval_every", type=int, default=1)
+    args = parser.parse_args()
+    cfg = build_config(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f"config: {cfg}", flush=True)
+
+    train_ds = build_dataset(cfg, args, "train")
+    val_ds = build_dataset(cfg, args, "val")
+    n_dev = len(jax.devices())
+    global_batch = cfg.batch_size * max(n_dev, 1)
+    train_loader = DataLoader(train_ds, global_batch, shuffle=True,
+                              seed=cfg.seed)
+    val_loader = DataLoader(val_ds, global_batch, shuffle=False)
+    steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
+
+    model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
+    if args.pretrained_torch:
+        params = load_torch_checkpoint(args.pretrained_torch, cfg)
+        print(f"imported torch checkpoint {args.pretrained_torch}", flush=True)
+    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+    print(f"parameters: {n_params / 1e6:.1f}M", flush=True)
+
+    crit = SetCriterion(cfg)
+    state, tx = create_train_state(cfg, params, steps_per_epoch)
+    start_epoch = 0
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed from {args.resume} at epoch {start_epoch}", flush=True)
+
+    mesh = make_mesh(dp_size=-1, tp_size=cfg.tp_size)
+    step = make_train_step(model, crit, tx, mesh)
+    eval_step = make_eval_step(model, crit)
+    state = replicate(state, mesh)
+    lr_fn = step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        train_loader.set_epoch(epoch)
+        state, train_stats = train_one_epoch(
+            step, state, train_loader, epoch, rng, lr_fn=lr_fn,
+            put_batch=lambda b: shard_batch(b, mesh))
+        ckpt = save_checkpoint(os.path.join(args.output_dir, "ckpts"),
+                               {"params": state.params,
+                                "opt_state": state.opt_state,
+                                "step": state.step}, epoch)
+        print(f"saved {ckpt}", flush=True)
+
+        log = {"epoch": epoch,
+               **{f"train_{k}": v for k, v in train_stats.items()}}
+        if (epoch + 1) % args.eval_every == 0:
+            eval_stats = evaluate(eval_step, state.params, val_loader, cfg)
+            log.update({f"test_{k}": v for k, v in eval_stats.items()
+                        if not k.startswith("_")})
+        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(log) + "\n")
+    print(f"done in {time.time() - t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

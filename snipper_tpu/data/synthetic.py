@@ -86,6 +86,22 @@ def make_sample(cfg: Config, rng: np.random.Generator,
     return {"images": imgs, "targets": targets}
 
 
+class SyntheticDataset:
+    """Map-style synthetic dataset (deterministic per index)."""
+
+    def __init__(self, cfg: Config, n_samples: int = 64, seed: int = 0):
+        self.cfg = cfg
+        self.n = n_samples
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx: int) -> Dict:
+        rng = np.random.default_rng(self.seed * 100_003 + idx)
+        return make_sample(self.cfg, rng)
+
+
 def batches(cfg: Config, batch_size: int, seed: int = 0,
             n_batches: int | None = None) -> Iterator[Dict]:
     rng = np.random.default_rng(seed)

@@ -25,7 +25,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-POSE3D_DATASETS = ("mupots", "jta", "panoptic")
+POSE3D_DATASETS = ("mupots", "jta", "panoptic", "synthetic")
 
 
 def transform_pts(pts: np.ndarray, trans: np.ndarray) -> np.ndarray:

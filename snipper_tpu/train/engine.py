@@ -1,0 +1,98 @@
+"""Train / eval epoch loops (counterpart of reference ``engine.py``).
+
+``train_one_epoch``: jitted step per batch, non-finite-loss abort
+(reference ``engine.py:68-71``), smoothed metric logging.
+``evaluate``: forward + criterion per batch, PostProcess, 3D metric
+accumulation over current and future frame ranges (reference
+``engine.py:99-212``): MPJPE root/joint, pelvis-aligned MPJPE, and
+3DPCK_rel @ 0.15 m.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from snipper_tpu.config import Config
+from snipper_tpu.eval.metrics import eval_pose3d, pck3d
+from snipper_tpu.infer.postprocess import postprocess
+from snipper_tpu.utils.logger import MetricLogger
+
+POSE3D_KEYS = ("mpjpe_root", "mpjpe_joint", "pel_mpjpe_joint", "3dpck")
+
+
+def _to_device_batch(batch: Dict) -> Dict:
+    return {"images": batch["images"], "targets": batch["targets"]}
+
+
+def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
+                    print_freq: int = 10, lr_fn=None,
+                    put_batch=None) -> tuple:
+    logger = MetricLogger()
+    header = f"Epoch: [{epoch}]"
+    for i, batch in enumerate(logger.log_every(loader, print_freq, header)):
+        rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + i)
+        dev_batch = _to_device_batch(batch)
+        if put_batch is not None:
+            dev_batch = put_batch(dev_batch)
+        state, metrics = step_fn(state, dev_batch, rng)
+        loss = float(metrics["loss_total"])
+        if not np.isfinite(loss):
+            print(f"Loss is {loss}, stopping training", flush=True)
+            print({k: float(v) for k, v in metrics.items()}, flush=True)
+            sys.exit(1)
+        logger.update(**{k: float(v) for k, v in metrics.items()})
+        if lr_fn is not None:
+            logger.update(lr=float(lr_fn(int(state.step))))
+    print("Averaged stats:", logger, flush=True)
+    return state, {k: m.global_avg for k, m in logger.meters.items()}
+
+
+def evaluate(eval_step_fn, params, loader, cfg: Config,
+             print_freq: int = 10, collect_results: bool = False) -> Dict:
+    logger = MetricLogger()
+    T, Tf = cfg.num_frames, cfg.num_future_frames
+    pose3d = {k: [] for k in POSE3D_KEYS}
+    pose3d_future = {k: [] for k in POSE3D_KEYS}
+    all_results = []
+
+    for batch in logger.log_every(loader, print_freq, "Eval:"):
+        outputs, losses, src_idx = eval_step_fn(
+            params, _to_device_batch(batch))
+        logger.update(**{k: float(v) for k, v in losses.items()})
+        outputs_np = {k: np.asarray(v) for k, v in outputs.items()
+                      if k in ("pred_logits", "pred_kpts2d", "pred_depth")}
+        results = postprocess(outputs_np, batch["meta"],
+                              np.asarray(src_idx))
+        if collect_results:
+            all_results.extend(results)
+        for key in POSE3D_KEYS:
+            mkey = "pel_mpjpe_joint" if key == "3dpck" else key
+            cur = eval_pose3d(mkey, results, 0, T)
+            if key == "3dpck":
+                pose3d[key].append((cur < 0.15).astype(np.float32))
+            else:
+                pose3d[key].append(cur)
+            if Tf > 0:
+                fut = eval_pose3d(mkey, results, T, T + Tf)
+                if key == "3dpck":
+                    pose3d_future[key].append((fut < 0.15).astype(np.float32))
+                else:
+                    pose3d_future[key].append(fut)
+
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    for name, acc in (("", pose3d), ("future_", pose3d_future)):
+        for k, chunks in acc.items():
+            if not chunks:
+                continue
+            v = np.concatenate(chunks)
+            if v.size:
+                stats[f"{name}{k}"] = float(v.mean())
+    print("Eval stats:", {k: round(v, 4) for k, v in stats.items()
+                          if not k.startswith("loss")}, flush=True)
+    if collect_results:
+        stats["_results"] = all_results
+    return stats

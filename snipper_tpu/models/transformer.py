@@ -96,7 +96,7 @@ class TemporalDeformAttn(nn.Module):
                           name="attention_weights")(query)
         logits = logits.reshape(B, T1, Lq, H, L, P)
 
-        adjacency = jnp.asarray(temporal_adjacency(self.n_frames, T1))
+        adjacency = temporal_adjacency(self.n_frames, T1)  # static numpy
         out = temporal_deform_sample(value, spatial_shapes, loc, logits,
                                      adjacency, impl=self.impl)
         out = nn.Dense(self.d_model, kernel_init=xavier_uniform,

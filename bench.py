@@ -2,7 +2,12 @@
 
 Measures snippets/sec/chip of the flagship T=4, 600x800, enc6/dec6 forward
 (the reference's canonical inference config, reference README.md:43-57 /
-inference.py:39-76) on the attached TPU, sweeping batch size.
+inference.py:39-76) on the attached TPU, bf16 weights/activations.
+
+Methodology notes (axon TPU tunnel):
+- enqueue K iterations then read one small output once: per-call readback
+  adds ~1.6 s of tunnel round-trip that is NOT device time
+- ONE process at a time (the tunnel grant is single-client)
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -10,8 +15,7 @@ Prints ONE JSON line:
 Baseline: the reference publishes no numbers and no GPU is attached here, so
 ``vs_baseline`` is computed against an ESTIMATED A100 PyTorch throughput of
 10 snippets/s (batch=1 eager inference.py with the CUDA deform-attn kernel;
-see BASELINE.md "A100 baseline estimate"). BASELINE.json's target is 5x that
-= 50 snippets/s/chip.
+see BASELINE.md "A100 baseline estimate").
 """
 
 from __future__ import annotations
@@ -31,31 +35,30 @@ def main():
     from snipper_tpu.config import Config
     from snipper_tpu.models.snipper import init_model
 
-    cfg = Config.canonical_t4().replace(dtype="bfloat16")
+    cfg = Config.canonical_t4()
     model, params = init_model(cfg, jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)["pred_logits"])
 
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-
-    best = 0.0
-    best_bs = 1
     rng = np.random.default_rng(0)
-    for bs in (1, 4, 8):
+    best, best_bs = 0.0, 1
+    for bs in (1, 2):
         try:
             x = jnp.asarray(rng.uniform(
                 0, 1, (bs, cfg.num_frames, cfg.input_height, cfg.input_width,
-                       3)), jnp.float32)
-            out = fwd(params, x)            # compile
-            jax.block_until_ready(out)
-            n_iter = max(3, int(8 // bs))
+                       3)), jnp.bfloat16)
+            o = fwd(params, x)                  # compile + warm
+            np.asarray(o.astype(jnp.float32))
+            K = 8
             t0 = time.perf_counter()
-            for _ in range(n_iter):
-                out = fwd(params, x)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / n_iter
-            sps = bs / dt
+            outs = [fwd(params, x) for _ in range(K)]
+            np.asarray(outs[-1].astype(jnp.float32))
+            sps = bs * K / (time.perf_counter() - t0)
             if sps > best:
                 best, best_bs = sps, bs
-        except Exception as e:  # noqa: BLE001 — OOM at large batch is fine
+        except Exception as e:  # noqa: BLE001
             print(f"# batch {bs} failed: {type(e).__name__}", flush=True)
             break
 
@@ -65,6 +68,7 @@ def main():
         "unit": "snippets/s",
         "vs_baseline": round(best / A100_BASELINE_SNIPPETS_PER_SEC, 3),
         "batch_size": best_bs,
+        "dtype": "bfloat16",
         "note": "baseline is an estimated A100 PyTorch eager throughput "
                 "(reference publishes no numbers); see BASELINE.md",
     }))

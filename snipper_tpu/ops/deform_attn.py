@@ -48,7 +48,7 @@ def ms_deform_attn_core(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
-    query_chunk: int = 2048,
+    query_chunk: int | None = None,
 ) -> jax.Array:
     """Multi-scale deformable sampling + weighted aggregation.
 
@@ -76,25 +76,30 @@ def ms_deform_attn_core(
     assert L == len(spatial_shapes), (L, spatial_shapes)
     assert S == sum(h * w for h, w in spatial_shapes)
     compute_dtype = value.dtype
+    if query_chunk is None:
+        query_chunk = 2048  # best measured on v5e (see ops docstring)
 
     # ---- corner-packed expansion, built ONCE per level -------------------
     # rows indexed by (by, bx) on an (h+1) x (w+1) grid of 2x2 windows over
     # the zero-padded map; row contents = the 4 bilinear corners of a sample
     # whose floor cell is (by-1, bx-1) in original coordinates.
+    # One head-major transpose up front; pad/concat then operate on the
+    # small D-minor axis (a corner concat AFTER a [S',4,H,D]->[H,S',4D]
+    # transpose relayouts hundreds of MB per layer and costs ~as much as
+    # the gather itself — measured on v5e).
+    value_hm = value.transpose(0, 2, 1, 3)             # [B, H, S, D]
     expanded = []
     start = 0
     for (h, w) in spatial_shapes:
-        v = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
+        v = jax.lax.slice_in_dim(value_hm, start, start + h * w, axis=2)
+        vhw = v.reshape(B, nH, h, w, D)
         start += h * w
-        vp = jnp.pad(v.reshape(B, h, w, nH * D),
-                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        vp = jnp.pad(vhw, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
         ve = jnp.concatenate(
-            [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
-            axis=-1)                                   # [B, h+1, w+1, 4*H*D]
-        ve = ve.reshape(B, (h + 1) * (w + 1), 4, nH, D)
-        ve = ve.transpose(0, 3, 1, 2, 4).reshape(
-            B, nH, (h + 1) * (w + 1), 4 * D)           # [B, H, S', 4D]
-        expanded.append(ve)
+            [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
+             vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]],
+            axis=-1)                                   # [B, H, h+1, w+1, 4D]
+        expanded.append(ve.reshape(B, nH, (h + 1) * (w + 1), 4 * D))
 
     def sample_chunk(loc_c: jax.Array, attn_c: jax.Array) -> jax.Array:
         """loc_c [B, C, H, L, P, 2], attn_c [B, C, H, L, P] ->
@@ -121,7 +126,6 @@ def ms_deform_attn_core(
             # [B, C, H, P, 4]; corner order (dy,dx)=(0,0),(0,1),(1,0),(1,1)
             # matches the expanded-row layout
             cw = jnp.stack(cws, -1) * attn.astype(jnp.float32)[..., None]
-
             bx = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
             by = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
             idx = (by * (w + 1) + bx).transpose(0, 2, 1, 3)  # [B, H, C, P]
@@ -137,8 +141,9 @@ def ms_deform_attn_core(
     if Lq <= query_chunk:
         out = sample_chunk(sampling_locations, attention_weights)
     else:
-        # scan over query chunks: bounds the gathered intermediate (the
-        # naive single gather materializes GBs at encoder scale)
+        # scan over query chunks: bounds the gathered intermediate (a
+        # single big gather materializes GBs with 2.7x-padded layouts and
+        # OOMs at batch>=4); measured fastest vs an unrolled chunk loop
         n_chunks = -(-Lq // query_chunk)
         Lq_pad = n_chunks * query_chunk
         pad = [(0, 0), (0, Lq_pad - Lq)] + [(0, 0)] * 4
@@ -184,6 +189,7 @@ def temporal_deform_sample(
     attention_logits: jax.Array,
     adjacency: jax.Array,
     impl: str = "xla",
+    query_chunk: int | None = None,
 ) -> jax.Array:
     """Temporal multi-frame deformable attention with shared per-frame
     projections (the reference's weight-sharing structure, see module
@@ -235,5 +241,6 @@ def temporal_deform_sample(
 
         out = ms_deform_attn_pallas(v_flat, spatial_shapes, loc_flat, attn_flat)
     else:
-        out = ms_deform_attn_core(v_flat, spatial_shapes, loc_flat, attn_flat)
+        out = ms_deform_attn_core(v_flat, spatial_shapes, loc_flat, attn_flat,
+                                  query_chunk=query_chunk)
     return out.reshape(B, T1, Lq, nH * D)

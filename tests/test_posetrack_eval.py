@@ -1,0 +1,93 @@
+"""Tests of the PoseTrack AP/MOT evaluation harness on crafted scenarios."""
+
+import numpy as np
+
+from snipper_tpu.eval.posetrack_eval import (Frame, MOTAccumulator,
+                                             evaluate_ap, evaluate_tracking,
+                                             voc_ap)
+
+J = 15
+
+
+def _gt_frame(positions, ids, seq="s0"):
+    n = len(positions)
+    kpts = np.zeros((n, J, 3))
+    for i, (x, y) in enumerate(positions):
+        kpts[i, :, 0] = x + np.arange(J)
+        kpts[i, :, 1] = y
+        kpts[i, :, 2] = 1.0
+    return Frame(kpts, np.asarray(ids), head_sizes=np.full(n, 50.0), seq=seq)
+
+
+def _pred_from_gt(gt, ids=None, noise=0.0, score=0.9):
+    kpts = gt.kpts.copy()
+    kpts[:, :, 0:2] += noise
+    kpts[:, :, 2] = score
+    return Frame(kpts, np.asarray(ids if ids is not None else gt.track_ids),
+                 seq=gt.seq)
+
+
+def test_perfect_predictions_ap_100():
+    gts = [_gt_frame([(100, 100), (300, 200)], [0, 1]) for _ in range(4)]
+    preds = [_pred_from_gt(g) for g in gts]
+    m = evaluate_ap(gts, preds)
+    assert np.nanmin(m["ap"][:J]) == 100.0
+    assert m["ap"][J] == 100.0
+
+
+def test_missed_and_false_positive_reduce_ap():
+    gts = [_gt_frame([(100, 100), (300, 200)], [0, 1])]
+    # only one person predicted + one spurious far detection
+    p = _pred_from_gt(gts[0])
+    far = p.kpts.copy()
+    far[1, :, 0:2] += 5000
+    pred = Frame(np.concatenate([p.kpts[:1], far[1:2]]),
+                 np.array([0, 7]), seq="s0")
+    m = evaluate_ap(gts, [pred])
+    assert m["ap"][J] < 100.0
+    assert m["rec"][J] <= 50.0 + 1e-6
+
+
+def test_tracking_perfect_mota_100():
+    gts, preds = [], []
+    for t in range(5):
+        g = _gt_frame([(100 + 2 * t, 100), (300, 200 + t)], [0, 1])
+        gts.append(g)
+        preds.append(_pred_from_gt(g))
+    m = evaluate_tracking(gts, preds)
+    assert abs(m["mota"][J] - 100.0) < 1e-6
+
+
+def test_tracking_id_switch_penalized():
+    gts, preds = [], []
+    for t in range(4):
+        g = _gt_frame([(100, 100), (300, 200)], [0, 1])
+        gts.append(g)
+        # swap predicted identities halfway
+        ids = [5, 6] if t < 2 else [6, 5]
+        preds.append(_pred_from_gt(g, ids=ids))
+    m_clean = evaluate_tracking(gts, [_pred_from_gt(g) for g in gts])
+    m_switch = evaluate_tracking(gts, preds)
+    assert m_switch["mota"][J] < m_clean["mota"][J]
+
+
+def test_mot_accumulator_counts():
+    acc = MOTAccumulator()
+    d = np.zeros((1, 1))
+    acc.update([1], [9], d)          # match
+    acc.update([1], [9], d)          # keep
+    acc.update([1], [8], d)          # switch
+    acc.update([1], [], np.zeros((1, 0)))   # miss
+    acc.update([], [8], np.zeros((0, 1)))   # false positive
+    m = acc.metrics
+    assert acc.num_switches == 1
+    assert acc.num_miss == 1
+    assert acc.num_fp == 1
+    assert acc.num_gt == 4
+
+
+def test_voc_ap_simple():
+    # one TP then one FP over 1 GT -> precision 1 at recall 1
+    rec = np.array([1.0, 1.0])
+    prec = np.array([1.0, 0.5])
+    assert abs(voc_ap(rec, prec) - 1.0) < 1e-9

@@ -1,0 +1,112 @@
+"""JTA (GTA-V) preprocessing: per-frame annotation split + sample listings.
+
+Counterpart of reference ``datasets/data_preprocess/jta.py``:
+- ``split_annotations``: the per-sequence annotation matrix
+  [frame, person, joint, x2d, y2d, x3d, y3d, z3d, occluded, self_occluded]
+  is split into per-frame JSONs ``{person_id: (kpts2d[44], kpts3d[66],
+  occ[44])}`` (``jta.py:146-205``); frame numbering starts at 1 in the raw
+  data and 0 in the split files.
+- ``prepare_listing``: index JSON of available frames per sequence; the
+  fixed-camera variant excludes the 99 moving-camera sequences
+  (``jta.py:234-257``, list shipped as moving_camera_seq.txt).
+- video->frame extraction is delegated to ffmpeg (cv2-free); JTA ships
+  900-frame seq_*.mp4 videos.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+
+import numpy as np
+
+# reference moving_camera_seq.txt (99 sequences with camera motion)
+MOVING_CAMERA_SEQS_FILE = "moving_camera_seq.txt"
+
+
+def extract_frames(data_dir: str, out_dir: str, half_res: bool = True):
+    """Split seq videos into JPEG frames at half resolution via ffmpeg
+    (reference uses cv2 VideoCapture + resize, ``jta.py:11-60``)."""
+    for subset in os.listdir(os.path.join(data_dir, "videos")):
+        for video in sorted(os.listdir(os.path.join(data_dir, "videos",
+                                                    subset))):
+            seq = video.split(".")[0]
+            out = os.path.join(out_dir, "images_half", subset, seq)
+            os.makedirs(out, exist_ok=True)
+            vf = "scale=iw/2:ih/2" if half_res else "null"
+            subprocess.run(
+                ["ffmpeg", "-y", "-i",
+                 os.path.join(data_dir, "videos", subset, video),
+                 "-vf", vf, "-q:v", "2", "-start_number", "0",
+                 os.path.join(out, "%03d.jpg")], check=True)
+
+
+def split_annotations(data_dir: str, out_dir: str, n_frames: int = 900):
+    for subset in os.listdir(os.path.join(data_dir, "annotations")):
+        for ann_fname in sorted(os.listdir(
+                os.path.join(data_dir, "annotations", subset))):
+            if "coco" in ann_fname:
+                continue
+            seq = ann_fname.split(".")[0]
+            out_seq = os.path.join(out_dir, "ann_split", subset, seq)
+            os.makedirs(out_seq, exist_ok=True)
+            with open(os.path.join(data_dir, "annotations", subset,
+                                   ann_fname)) as f:
+                data = np.asarray(json.load(f))
+            for frame in range(n_frames):
+                out_file = os.path.join(out_seq, f"{frame:03d}.json")
+                if os.path.exists(out_file):
+                    continue
+                # raw frames are 1-based
+                fd = data[data[:, 0] == frame + 1]
+                frame_dict = {}
+                for pid in sorted(set(fd[:, 1].astype(int).tolist())):
+                    rows = fd[fd[:, 1] == pid]
+                    k2 = rows[:, 3:5].reshape(-1).tolist()
+                    k3 = rows[:, 5:8].reshape(-1).tolist()
+                    occ = rows[:, 8:10].astype(int).reshape(-1).tolist()
+                    frame_dict[int(pid)] = (k2, k3, occ)
+                with open(out_file, "w") as f:
+                    json.dump(frame_dict, f)
+
+
+def prepare_listing(data_dir: str, out_dir: str,
+                    exclude_moving_camera: bool = True):
+    moving = set()
+    if exclude_moving_camera:
+        path = os.path.join(data_dir, MOVING_CAMERA_SEQS_FILE)
+        if os.path.exists(path):
+            with open(path) as f:
+                moving = {int(line.strip()) for line in f if line.strip()}
+    all_files = {}
+    for subset in os.listdir(os.path.join(data_dir, "ann_split")):
+        listing = {}
+        for seq in sorted(os.listdir(os.path.join(data_dir, "ann_split",
+                                                  subset))):
+            if exclude_moving_camera and int(seq.split("_")[1]) in moving:
+                continue
+            frames = sorted(int(f.split(".")[0]) for f in os.listdir(
+                os.path.join(data_dir, "ann_split", subset, seq)))
+            listing[seq] = frames
+        all_files[subset] = listing
+    name = ("jta_all_ann_files_no_moving_camera.json"
+            if exclude_moving_camera else "jta_all_ann_files.json")
+    out_file = os.path.join(out_dir, name)
+    with open(out_file, "w") as f:
+        json.dump(all_files, f)
+    print(f"saved {out_file}")
+    return all_files
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser("jta preprocessing")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--skip_frames", action="store_true")
+    args = p.parse_args()
+    if not args.skip_frames:
+        extract_frames(args.data_dir, args.out_dir)
+    split_annotations(args.data_dir, args.out_dir)
+    prepare_listing(args.out_dir, args.out_dir)

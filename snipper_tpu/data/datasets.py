@@ -37,8 +37,8 @@ from snipper_tpu.data.skeleton import (COCO_TO_JOINT15, FLIP_JOINTS,
 from snipper_tpu.data.snippet import (bbox_2d_padded_batch,
                                       build_trajectories,
                                       transform_frame_kpts)
-from snipper_tpu.data.transforms import (generate_patch_image, get_aug_config,
-                                         get_aug_config_coco)
+from snipper_tpu.data.native_ops import warp_patch
+from snipper_tpu.data.transforms import get_aug_config, get_aug_config_coco
 
 
 def _read_rgb(path: str) -> np.ndarray:
@@ -259,9 +259,8 @@ class HybridDataset:
         rot, do_flip, color, bbx, trans, inv_trans = get_aug_config(
             (img_w, img_h), self.input_shape, augment, self.rng)
 
-        imgs = [self._color_aug(
-            generate_patch_image(f, do_flip, trans, self.input_shape), color)
-            for f in frames]
+        imgs = [warp_patch(f, trans, self.input_shape, do_flip, color)
+                for f in frames]
         kpts_n = [transform_frame_kpts(k, do_flip, img_w, trans,
                                        self.input_shape) for k in kpts]
         tgt = build_trajectories(kpts_n, ids, self.seq_l,
@@ -307,8 +306,8 @@ class HybridDataset:
         imgs, kpts_list, depth_list = [], [], []
         for t in range(self.t_total):
             if t < self.seq_l:
-                imgs.append(self._color_aug(generate_patch_image(
-                    img, do_flip, trans_l[t], self.input_shape), color))
+                imgs.append(warp_patch(img, trans_l[t], self.input_shape,
+                                       do_flip, color))
             k = transform_frame_kpts(kpts2d, do_flip, img_w, trans_l[t],
                                      self.input_shape)
             kpts_list.append(k)
@@ -361,9 +360,8 @@ class HybridDataset:
         img_h, img_w = frames[0].shape[:2]
         rot, do_flip, color, bbx, trans, inv_trans = get_aug_config(
             (img_w, img_h), self.input_shape, augment, self.rng)
-        imgs = [self._color_aug(
-            generate_patch_image(f, do_flip, trans, self.input_shape), color)
-            for f in frames]
+        imgs = [warp_patch(f, trans, self.input_shape, do_flip, color)
+                for f in frames]
         kpts_n, depths = [], []
         for k, k3 in zip(kpts, k3s):
             if do_flip:
@@ -419,9 +417,8 @@ class HybridDataset:
         img_h, img_w = frames[0].shape[:2]
         rot, do_flip, color, bbx, trans, inv_trans = get_aug_config(
             (img_w, img_h), self.input_shape, augment, self.rng)
-        imgs = [self._color_aug(
-            generate_patch_image(f, do_flip, trans, self.input_shape), color)
-            for f in frames]
+        imgs = [warp_patch(f, trans, self.input_shape, do_flip, color)
+                for f in frames]
 
         kpts_n, k3_l, ids_l, depths, bbxs = [], [], [], [], []
         for k, k3, tid in zip(kpts, k3s, ids):

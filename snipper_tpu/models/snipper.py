@@ -47,6 +47,7 @@ class Snipper(nn.Module):
         images: jnp.ndarray,                 # [B, T, H, W, 3] float in [0,1]
         mask: Optional[jnp.ndarray] = None,  # [B, T, H, W] bool True=pad
         train: bool = False,
+        return_attn: bool = False,
     ):
         cfg = self.cfg
         B, T, H, W, _ = images.shape
@@ -137,6 +138,12 @@ class Snipper(nn.Module):
             out["aux_depth"] = kpts[:-1, ..., 3:4]
         out["init_reference"] = tr["init_reference"]
         out["references"] = tr["references"]
+        if return_attn:
+            # per-decoder-layer (sampling_locations, attention_weights) for
+            # visualization (reference attention_vis plumbing,
+            # models/model.py:221 / ms_deform_attn.py:167-233); locations
+            # are shared across sampled frames (shared projections)
+            out["attn_data"] = tr["attn_data"]
         return out
 
 

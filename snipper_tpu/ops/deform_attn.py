@@ -49,6 +49,7 @@ def ms_deform_attn_core(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
     query_chunk: int | None = None,
+    onehot_max_s: int = 2048,
 ) -> jax.Array:
     """Multi-scale deformable sampling + weighted aggregation.
 
@@ -88,18 +89,29 @@ def ms_deform_attn_core(
     # transpose relayouts hundreds of MB per layer and costs ~as much as
     # the gather itself — measured on v5e).
     value_hm = value.transpose(0, 2, 1, 3)             # [B, H, S, D]
-    expanded = []
+    # Per level, one of two layouts:
+    # - "onehot" (small levels): the RAW head-major slice; sampling becomes a
+    #   weighted-one-hot MXU matmul (bilinear corner weights folded into the
+    #   matrix) — no expansion, no post-reduce, and it avoids XLA's 4KB-tile
+    #   reread per random gather row.
+    # - "gather" (large levels): corner-packed expansion so one gathered row
+    #   carries all four bilinear corners.
+    levels = []
     start = 0
     for (h, w) in spatial_shapes:
         v = jax.lax.slice_in_dim(value_hm, start, start + h * w, axis=2)
-        vhw = v.reshape(B, nH, h, w, D)
         start += h * w
+        if h * w <= onehot_max_s:
+            levels.append(("onehot", v))               # [B, H, h*w, D]
+            continue
+        vhw = v.reshape(B, nH, h, w, D)
         vp = jnp.pad(vhw, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
         ve = jnp.concatenate(
             [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
              vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]],
             axis=-1)                                   # [B, H, h+1, w+1, 4D]
-        expanded.append(ve.reshape(B, nH, (h + 1) * (w + 1), 4 * D))
+        levels.append(("gather", ve.reshape(B, nH, (h + 1) * (w + 1),
+                                            4 * D)))
 
     def sample_chunk(loc_c: jax.Array, attn_c: jax.Array) -> jax.Array:
         """loc_c [B, C, H, L, P, 2], attn_c [B, C, H, L, P] ->
@@ -107,6 +119,7 @@ def ms_deform_attn_core(
         C = loc_c.shape[1]
         out = jnp.zeros((B, nH, C, D), jnp.float32)
         for lvl, (h, w) in enumerate(spatial_shapes):
+            kind, buf = levels[lvl]
             loc = loc_c[:, :, :, lvl]                  # [B, C, H, P, 2]
             attn = attn_c[:, :, :, lvl]                # [B, C, H, P]
             x = loc[..., 0].astype(jnp.float32) * w - 0.5
@@ -124,18 +137,46 @@ def ms_deform_attn_core(
                              & (y0 + dy >= 0) & (y0 + dy < h))
                     cws.append(cw * valid.astype(cw.dtype))
             # [B, C, H, P, 4]; corner order (dy,dx)=(0,0),(0,1),(1,0),(1,1)
-            # matches the expanded-row layout
             cw = jnp.stack(cws, -1) * attn.astype(jnp.float32)[..., None]
-            bx = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
-            by = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
-            idx = (by * (w + 1) + bx).transpose(0, 2, 1, 3)  # [B, H, C, P]
-            g = jnp.take_along_axis(
-                expanded[lvl], idx.reshape(B, nH, C * P)[..., None], axis=2)
-            g = g.reshape(B, nH, C, P, 4, D).astype(jnp.float32)
-            # multiply+sum on the VPU (exact f32; an einsum would hit the
-            # MXU in bf16 on TPU)
-            out = out + jnp.sum(
-                cw.transpose(0, 2, 1, 3, 4)[..., None] * g, axis=(3, 4))
+            cw_t = cw.transpose(0, 2, 1, 3, 4)          # [B, H, C, P, 4]
+
+            if kind == "onehot":
+                # weighted one-hot: W[row=(c,p), s] carries the bilinear
+                # corner weights directly; one MXU matmul per level replaces
+                # gather + corner reduce
+                ids = []
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        xi = jnp.clip(x0 + dx, 0, w - 1)
+                        yi = jnp.clip(y0 + dy, 0, h - 1)
+                        ids.append((yi * w + xi).astype(jnp.int32))
+                ids = jnp.stack(ids, -1).transpose(0, 2, 1, 3, 4)
+                ids = ids.reshape(B, nH, C * P, 4)      # [B, H, CP, 4]
+                wgt = cw_t.reshape(B, nH, C * P, 4)
+                iota = jnp.arange(h * w, dtype=jnp.int32)
+                W = jnp.zeros((B, nH, C * P, h * w), jnp.float32)
+                for c in range(4):
+                    W = W + jnp.where(
+                        ids[..., c, None] == iota[None, None, None, :],
+                        wgt[..., c, None], 0.0)
+                prec = (None if buf.dtype == jnp.bfloat16
+                        else jax.lax.Precision.HIGHEST)
+                part = jax.lax.dot_general(
+                    W.astype(buf.dtype), buf,
+                    dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # [B, H, CP, D]
+                out = out + part.reshape(B, nH, C, P, D).sum(3)
+            else:
+                bx = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+                by = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+                idx = (by * (w + 1) + bx).transpose(0, 2, 1, 3)
+                idx_flat = idx.reshape(B, nH, C * P)
+                g = jnp.take_along_axis(buf, idx_flat[..., None], axis=2)
+                g = g.reshape(B, nH, C, P, 4, D).astype(jnp.float32)
+                # multiply+sum on the VPU (exact f32; an einsum would hit
+                # the MXU in bf16 on TPU)
+                out = out + jnp.sum(cw_t[..., None] * g, axis=(3, 4))
         return out.transpose(0, 2, 1, 3).reshape(B, C, nH * D)
 
     if Lq <= query_chunk:

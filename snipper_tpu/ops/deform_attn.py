@@ -88,29 +88,29 @@ def ms_deform_attn_core(
     # small D-minor axis (a corner concat AFTER a [S',4,H,D]->[H,S',4D]
     # transpose relayouts hundreds of MB per layer and costs ~as much as
     # the gather itself — measured on v5e).
-    value_hm = value.transpose(0, 2, 1, 3)             # [B, H, S, D]
     # Per level, one of two layouts:
-    # - "onehot" (small levels): the RAW head-major slice; sampling becomes a
-    #   weighted-one-hot MXU matmul (bilinear corner weights folded into the
-    #   matrix) — no expansion, no post-reduce, and it avoids XLA's 4KB-tile
-    #   reread per random gather row.
-    # - "gather" (large levels): corner-packed expansion so one gathered row
-    #   carries all four bilinear corners.
+    # - "onehot" (small levels): head-major [B, H, S, D] slice; sampling
+    #   becomes a weighted-one-hot MXU matmul (bilinear corner weights
+    #   folded into the matrix) — no expansion, no post-reduce, avoids
+    #   XLA's 4KB-tile reread per random gather row.
+    # - "gather" (large levels): corner-packed expansion, kept as
+    #   [B, S'*H, 4D] flat (s', head) rows — (8, 192)-friendly tiling with
+    #   NO head-major transpose (a [S',4,H,D]->[H,S',4D] relayout costs as
+    #   much as the gather itself; measured on v5e).
     levels = []
     start = 0
     for (h, w) in spatial_shapes:
-        v = jax.lax.slice_in_dim(value_hm, start, start + h * w, axis=2)
-        start += h * w
+        v = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
+        start += h * w                                  # v: [B, h*w, H, D]
         if h * w <= onehot_max_s:
-            levels.append(("onehot", v))               # [B, H, h*w, D]
+            levels.append(("onehot", v.transpose(0, 2, 1, 3)))  # [B,H,S,D]
             continue
-        vhw = v.reshape(B, nH, h, w, D)
-        vp = jnp.pad(vhw, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        vhw = v.reshape(B, h, w, nH, D)
+        vp = jnp.pad(vhw, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
         ve = jnp.concatenate(
-            [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
-             vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]],
-            axis=-1)                                   # [B, H, h+1, w+1, 4D]
-        levels.append(("gather", ve.reshape(B, nH, (h + 1) * (w + 1),
+            [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
+            axis=-1)                                # [B, h+1, w+1, H, 4D]
+        levels.append(("gather", ve.reshape(B, (h + 1) * (w + 1) * nH,
                                             4 * D)))
 
     def sample_chunk(loc_c: jax.Array, attn_c: jax.Array) -> jax.Array:
@@ -170,13 +170,18 @@ def ms_deform_attn_core(
             else:
                 bx = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
                 by = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
-                idx = (by * (w + 1) + bx).transpose(0, 2, 1, 3)
-                idx_flat = idx.reshape(B, nH, C * P)
-                g = jnp.take_along_axis(buf, idx_flat[..., None], axis=2)
-                g = g.reshape(B, nH, C, P, 4, D).astype(jnp.float32)
+                base = by * (w + 1) + bx                # [B, C, H, P]
+                # flat (s', head) row index into [B, S'*H, 4D]
+                head_ids = jnp.arange(nH, dtype=jnp.int32)[None, None, :,
+                                                           None]
+                idx = base * nH + head_ids
+                g = jnp.take_along_axis(
+                    buf, idx.reshape(B, C * nH * P)[..., None], axis=1)
+                g = g.reshape(B, C, nH, P, 4, D).astype(jnp.float32)
                 # multiply+sum on the VPU (exact f32; an einsum would hit
                 # the MXU in bf16 on TPU)
-                out = out + jnp.sum(cw_t[..., None] * g, axis=(3, 4))
+                out = out + jnp.sum(cw[..., None] * g, axis=(3, 4)) \
+                    .transpose(0, 2, 1, 3)
         return out.transpose(0, 2, 1, 3).reshape(B, C, nH * D)
 
     if Lq <= query_chunk:

@@ -9,6 +9,7 @@ import json
 import os
 
 import jax
+import numpy as np
 
 from snipper_tpu.cli.common import (add_config_args, add_data_args,
                                     build_config, build_dataset)
@@ -26,6 +27,11 @@ def main():
     add_config_args(parser)
     add_data_args(parser)
     parser.add_argument("--write_posetrack", action="store_true")
+    parser.add_argument("--posetrack_gt_dir", type=str, default=None,
+                        help="GT annotation JSON dir; if given, run the "
+                             "PoseTrack AP/MOT evaluation after writing")
+    parser.add_argument("--coco_gt_json", type=str, default=None,
+                        help="COCO keypoint GT json; if given, run OKS eval")
     args = parser.parse_args()
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -50,10 +56,39 @@ def main():
         json.dump({k: v for k, v in stats.items()}, f, indent=2)
 
     if args.write_posetrack:
-        from snipper_tpu.eval.posetrack_writer import write_val_results
+        from snipper_tpu.eval.posetrack_writer import (
+            collect_posetrack_results, write_val_results)
 
-        write_val_results(results, os.path.join(args.output_dir,
-                                                "posetrack_results"))
+        by_video = collect_posetrack_results(results, cfg.num_frames)
+        pred_dir = os.path.join(args.output_dir, "posetrack_results")
+        write_val_results(by_video, getattr(val_ds, "posetrack_data", {}),
+                          pred_dir)
+        if args.posetrack_gt_dir:
+            from snipper_tpu.eval.posetrack_eval import evaluate_posetrack18
+
+            pt = evaluate_posetrack18(args.posetrack_gt_dir, pred_dir)
+            for section, metrics in pt.items():
+                for k, v in metrics.items():
+                    stats[f"posetrack_{section}_{k}"] = float(
+                        np.asarray(v)[-1])
+
+    if args.coco_gt_json:
+        from snipper_tpu.eval.coco_eval import (evaluate_coco_keypoints,
+                                                write_coco_results)
+
+        coco_results = {}
+        for r in results:
+            if r.get("dataset") == "coco":
+                coco_results.setdefault(r["image_id"], []).append(
+                    (np.asarray(r["human_score"]).max(-1),
+                     np.concatenate([r["pred_kpts"][:, 0],
+                                     r["pred_kpt_scores"][:, 0]], -1)))
+        if coco_results:
+            pred_json = write_coco_results(coco_results, args.output_dir)
+            stats.update({f"coco_{k}": v for k, v in
+                          evaluate_coco_keypoints(args.coco_gt_json,
+                                                  pred_json).items()})
+
     print(json.dumps({k: round(v, 4) for k, v in stats.items()
                       if isinstance(v, float)}, indent=2))
 

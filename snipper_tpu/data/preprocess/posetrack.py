@@ -70,6 +70,7 @@ def _frame_record(img, anns, images_dir, keep_head=False, keep_info=False):
             rec["bboxes_head"] = []
     if keep_info:
         rec["info"] = img
+        rec["is_label"] = bool(kpts2d) and bool(img.get("is_labeled", True))
     return rec
 
 

@@ -252,6 +252,11 @@ class DeformableTransformer(nn.Module):
     num_keypoints: int
     dropout: float = 0.1
     impl: str = "xla"
+    # rematerialize encoder/decoder layers in the backward pass: the
+    # deformable-sampling intermediates (gathered corners, one-hot
+    # matrices) otherwise get saved per chunk per layer and blow HBM at
+    # training time (measured 168GB at canonical scale)
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -296,14 +301,18 @@ class DeformableTransformer(nn.Module):
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
         enc_ref = jnp.broadcast_to(enc_ref[:, None],
                                    (B, T, enc_ref.shape[1], L, 2))
+        # static_argnums for flax nn.remat count self as arg 0:
+        # (self, src, pos, ref, spatial_shapes=4, padding_mask, train=6)
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4, 6))
+                   if self.remat else EncoderLayer)
         memory = src_flat
         for i in range(self.num_encoder_layers):
-            memory = EncoderLayer(
+            memory = enc_cls(
                 self.d_model, self.dim_feedforward, L, self.n_heads,
                 self.enc_n_points, self.n_frames, self.dropout,
                 impl=self.impl, name=f"encoder_layer{i}")(
                     memory, pos_flat, enc_ref, spatial_shapes, mask_flat,
-                    train=train)
+                    train)
 
         # ---- heatmaps from encoder memory ---------------------------------
         # first num_keypoints channels of each head
@@ -337,17 +346,20 @@ class DeformableTransformer(nn.Module):
         # decoder layers and installed into the decoder)
         root_linear = nn.Dense(4, name="root_embed")
 
+        # (self, tgt, query_pos, ref, src, spatial_shapes=5, mask, train=7)
+        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
+                   if self.remat else DecoderLayer)
         hs, refs_in, roots_raw, attn_all = [], [], [], []
         output = query_obj
         for i in range(self.num_decoder_layers):
             ref_input = (reference_points[:, :, :, None, :]
                          * valid_ratios[:, None, None, :, :])
-            output, attn_data = DecoderLayer(
+            output, attn_data = dec_cls(
                 self.d_model, self.dim_feedforward, L, self.n_heads,
                 self.dec_n_points, self.n_frames, self.dropout,
                 impl=self.impl, name=f"decoder_layer{i}")(
                     output, query_pos, ref_input, memory, spatial_shapes,
-                    mask_flat, train=train)
+                    mask_flat, train)
             root4 = root_linear(output)                # [B, T1, q, 4]
             xy_logit = root4[..., 0:2] + inverse_sigmoid(reference_points)
             hs.append(output)

@@ -200,9 +200,14 @@ def ms_deform_attn_core(
         attn_s = attn_p.reshape(B, n_chunks, query_chunk,
                                 *attn_p.shape[2:]).swapaxes(0, 1)
 
+        # checkpoint the chunk body: without it the scan stacks each chunk's
+        # gathered/one-hot intermediates as backward residuals (tens of GB
+        # at canonical training scale); recompute them per chunk instead
+        chunk_fn = jax.checkpoint(sample_chunk)
+
         def body(_, inp):
             lc, ac = inp
-            return None, sample_chunk(lc, ac)
+            return None, chunk_fn(lc, ac)
 
         _, chunks = jax.lax.scan(body, None, (loc_s, attn_s))
         out = chunks.swapaxes(0, 1).reshape(B, Lq_pad, nH * D)[:, :Lq]

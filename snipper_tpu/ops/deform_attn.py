@@ -49,7 +49,7 @@ def ms_deform_attn_core(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
     query_chunk: int | None = None,
-    onehot_max_s: int = 2048,
+    onehot_max_s: int = 8192,
 ) -> jax.Array:
     """Multi-scale deformable sampling + weighted aggregation.
 
@@ -78,7 +78,7 @@ def ms_deform_attn_core(
     assert S == sum(h * w for h, w in spatial_shapes)
     compute_dtype = value.dtype
     if query_chunk is None:
-        query_chunk = 2048  # best measured on v5e (see ops docstring)
+        query_chunk = 1024  # best measured on v5e (see ops docstring)
 
     # ---- corner-packed expansion, built ONCE per level -------------------
     # rows indexed by (by, bx) on an (h+1) x (w+1) grid of 2x2 windows over
@@ -241,6 +241,7 @@ def temporal_deform_sample(
     adjacency: jax.Array,
     impl: str = "xla",
     query_chunk: int | None = None,
+    onehot_max_s: int = 8192,
 ) -> jax.Array:
     """Temporal multi-frame deformable attention with shared per-frame
     projections (the reference's weight-sharing structure, see module
@@ -293,5 +294,6 @@ def temporal_deform_sample(
         out = ms_deform_attn_pallas(v_flat, spatial_shapes, loc_flat, attn_flat)
     else:
         out = ms_deform_attn_core(v_flat, spatial_shapes, loc_flat, attn_flat,
-                                  query_chunk=query_chunk)
+                                  query_chunk=query_chunk,
+                                  onehot_max_s=onehot_max_s)
     return out.reshape(B, T1, Lq, nH * D)

@@ -78,7 +78,11 @@ def ms_deform_attn_core(
     assert S == sum(h * w for h, w in spatial_shapes)
     compute_dtype = value.dtype
     if query_chunk is None:
-        query_chunk = 1024  # best measured on v5e (see ops docstring)
+        # best measured on v5e at B(folded batch)=4: 1024. The dominant
+        # transient (the f32 one-hot W for the largest level) scales as
+        # B * H * qc * P * S_max, so shrink the chunk as batch grows or the
+        # backward pass falls off an HBM-pressure cliff (measured 10x).
+        query_chunk = max(256, (1024 * 4) // max(B, 1))
 
     # ---- corner-packed expansion, built ONCE per level -------------------
     # rows indexed by (by, bx) on an (h+1) x (w+1) grid of 2x2 windows over

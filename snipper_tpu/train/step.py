@@ -31,16 +31,33 @@ def make_train_step(
     tx,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    mixed_precision: bool = False,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: dict with ``images [B, T, H, W, 3]``, optional
     ``mask [B, T, H, W]``, and padded ``targets`` (kpts2d/depth/valid).
+
+    ``mixed_precision``: run the network in bfloat16 (params cast inside the
+    loss; f32 master weights, f32 losses/optimizer — the criterion computes
+    in f32 regardless of activation dtype). Converges, but measured SLOWER
+    than f32 on v5e at canonical scale (2066 vs 237 ms/step at batch 2 —
+    the bf16 (16,128) tiling interacts badly with the remat'd sampling);
+    off by default.
     """
 
     def step(state: TrainState, batch: Dict, rng) -> tuple:
         def loss_fn(params):
-            out = model.apply({"params": params}, batch["images"],
+            if mixed_precision:
+                import jax.numpy as jnp
+
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, params)
+                images = batch["images"].astype(jnp.bfloat16)
+            else:
+                p, images = params, batch["images"]
+            out = model.apply({"params": p}, images,
                               batch.get("mask"), train=True,
                               rngs={"dropout": rng})
             total, losses, _ = criterion(out, batch["targets"])

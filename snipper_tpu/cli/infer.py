@@ -80,10 +80,12 @@ def main():
         pickle.dump({"frames": frames, "max_pid": max_pid}, f)
 
     if args.save_visuals:
-        from snipper_tpu.infer.visualize import save_visual_results
+        from snipper_tpu.infer.visualize import save_as_gif, save_visual_results
 
         save_visual_results(frames, all_files, args.data_dir,
                             args.output_dir, max_pid, cfg.max_depth)
+        save_as_gif(os.path.join(args.output_dir, "pose2d"),
+                    os.path.join(args.output_dir, "tracking.gif"))
     print(f"results written to {args.output_dir}", flush=True)
 
 

@@ -164,7 +164,7 @@ def ms_deform_attn_core(
                         ids[..., c, None] == iota[None, None, None, :],
                         wgt[..., c, None], 0.0)
                 prec = (None if buf.dtype == jnp.bfloat16
-                        else jax.lax.Precision.HIGHEST)
+                        else jax.lax.Precision.HIGH)  # bf16x3 ~ f32
                 part = jax.lax.dot_general(
                     W.astype(buf.dtype), buf,
                     dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),

@@ -69,13 +69,17 @@ def main():
     state = replicate(state, mesh)
     lr_fn = step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)
 
+    from snipper_tpu.train.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
     rng = jax.random.PRNGKey(cfg.seed + 1)
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         state, train_stats = train_one_epoch(
             step, state, train_loader, epoch, rng, lr_fn=lr_fn,
-            put_batch=lambda b: shard_batch(b, mesh))
+            put_batch=lambda b: shard_batch(b, mesh),
+            stop_flag=lambda: guard.should_stop)
         ckpt = save_checkpoint(os.path.join(args.output_dir, "ckpts"),
                                {"params": state.params,
                                 "opt_state": state.opt_state,
@@ -90,6 +94,9 @@ def main():
                         if not k.startswith("_")})
         with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
             f.write(json.dumps(log) + "\n")
+        if guard.should_stop:
+            print("checkpoint saved on preemption — exiting", flush=True)
+            break
     print(f"done in {time.time() - t0:.0f}s", flush=True)
 
 

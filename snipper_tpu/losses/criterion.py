@@ -84,7 +84,10 @@ class SetCriterion:
         self.cfg = cfg
         self.weights = loss_weight_dict(cfg)
         self.match_weights = matcher_weight_dict(cfg)
-        self.cont_weights = jnp.asarray(ROOT_JOINT_CONT)[None, None, :, None]
+        # per-joint continuity weights are defined for JOINT15 (reference
+        # ROOTJOINTCONT); slice for smaller test joint sets
+        self.cont_weights = jnp.asarray(
+            ROOT_JOINT_CONT[: cfg.num_kpts])[None, None, :, None]
         # max_depth==-1 still divides displacements by it in recomposition;
         # the reference keeps the raw value (losses are zero-weighted instead)
         self.max_depth = cfg.max_depth

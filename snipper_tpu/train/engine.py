@@ -30,10 +30,14 @@ def _to_device_batch(batch: Dict) -> Dict:
 
 def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
                     print_freq: int = 10, lr_fn=None,
-                    put_batch=None) -> tuple:
+                    put_batch=None, stop_flag=None) -> tuple:
     logger = MetricLogger()
     header = f"Epoch: [{epoch}]"
     for i, batch in enumerate(logger.log_every(loader, print_freq, header)):
+        if stop_flag is not None and stop_flag():
+            print("preemption signal received — stopping epoch early",
+                  flush=True)
+            break
         rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + i)
         dev_batch = _to_device_batch(batch)
         if put_batch is not None:
@@ -82,6 +86,13 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
                     pose3d_future[key].append((fut < 0.15).astype(np.float32))
                 else:
                     pose3d_future[key].append(fut)
+
+    # multi-host: merge per-host result lists (replaces the reference's
+    # pickle-file rendezvous, main.py:291-322)
+    if collect_results and jax.process_count() > 1:
+        from snipper_tpu.parallel.multihost import merge_eval_results
+
+        all_results = merge_eval_results(all_results)
 
     stats = {k: m.global_avg for k, m in logger.meters.items()}
     for name, acc in (("", pose3d), ("future_", pose3d_future)):

@@ -1,0 +1,66 @@
+"""Tests for auxiliary subsystems: preemption guard, multi-host gather
+(single-process path), and aux-loss weighting."""
+
+import os
+import signal
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from snipper_tpu.config import Config
+from snipper_tpu.losses.criterion import SetCriterion, loss_weight_dict
+from snipper_tpu.parallel.multihost import all_gather_objects, merge_eval_results
+from snipper_tpu.train.preemption import PreemptionGuard
+
+
+def test_preemption_guard_catches_sigterm():
+    guard = PreemptionGuard()
+    try:
+        assert not guard.should_stop
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert guard.should_stop
+    finally:
+        guard.restore()
+
+
+def test_all_gather_single_process():
+    assert all_gather_objects({"a": 1}) == [{"a": 1}]
+    assert merge_eval_results([{"x": 1}, {"x": 2}]) == [{"x": 1}, {"x": 2}]
+
+
+def test_aux_losses_present_and_weighted():
+    """Each aux decoder layer re-runs matching + all losses except heatmap
+    (reference models/model.py:535-544) and shares base coefficients."""
+    cfg = Config(num_queries=6, num_kpts=5, max_persons=3, num_frames=2,
+                 num_future_frames=0, dec_layers=3)
+    crit = SetCriterion(cfg)
+    rng = np.random.default_rng(0)
+    B, n, T, K, M = 2, 6, 2, 5, 3
+    out = {
+        "pred_logits": jnp.asarray(rng.standard_normal((B, n, T, 2)), jnp.float32),
+        "pred_kpts2d": jnp.asarray(rng.uniform(0, 1, (B, n, T, K, 3)), jnp.float32),
+        "pred_depth": jnp.asarray(rng.uniform(0, 1, (B, n, T, K, 1)), jnp.float32),
+        "aux_logits": jnp.asarray(rng.standard_normal((2, B, n, T, 2)), jnp.float32),
+        "aux_kpts2d": jnp.asarray(rng.uniform(0, 1, (2, B, n, T, K, 3)), jnp.float32),
+        "aux_depth": jnp.asarray(rng.uniform(0, 1, (2, B, n, T, K, 1)), jnp.float32),
+    }
+    kpts = np.zeros((B, M, T, K, 3), np.float32)
+    kpts[:, 0] = rng.uniform(0.2, 0.8, (B, T, K, 3))
+    kpts[:, 0, ..., 2] = 1.0
+    tgt = {"kpts2d": jnp.asarray(kpts),
+           "depth": jnp.asarray(np.zeros((B, M, T, K, 2), np.float32)),
+           "valid": jnp.asarray(np.array([[True, False, False]] * B))}
+    total, losses, _ = crit(out, tgt)
+    # aux keys exist for each of the 2 aux layers, heatmap excluded
+    assert "loss_root_0" in losses and "loss_root_1" in losses
+    assert "loss_heatmap_0" not in losses
+    assert "loss_heatmap" not in losses  # no heatmaps passed
+    # total equals the manual weighted sum
+    w = loss_weight_dict(cfg)
+    manual = 0.0
+    for k, v in losses.items():
+        base = k.rsplit("_", 1)
+        coef = w.get(k, w.get(base[0]) if base[-1].isdigit() else None)
+        manual += (coef or 0.0) * float(v)
+    np.testing.assert_allclose(float(total), manual, rtol=1e-5)

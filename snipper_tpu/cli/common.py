@@ -7,8 +7,21 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 from snipper_tpu.config import Config
+
+
+def respect_platform_env():
+    """Honor ``JAX_PLATFORMS`` even when a sitecustomize pins
+    ``jax_platforms`` via the config API (which silently overrides the env
+    var): ``JAX_PLATFORMS=cpu python -m snipper_tpu.cli...`` must actually
+    run on CPU. Call at the top of every CLI ``main()``."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        import jax
+
+        jax.config.update("jax_platforms", env)
 
 
 def add_config_args(parser: argparse.ArgumentParser):

@@ -33,6 +33,8 @@ def main():
     parser.add_argument("--coco_gt_json", type=str, default=None,
                         help="COCO keypoint GT json; if given, run OKS eval")
     args = parser.parse_args()
+    from snipper_tpu.cli.common import respect_platform_env
+    respect_platform_env()
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
 

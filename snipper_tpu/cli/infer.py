@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--save_visuals", action="store_true")
     parser.add_argument("--preset", type=str, default="canonical_t4")
     args = parser.parse_args()
+    from snipper_tpu.cli.common import respect_platform_env
+    respect_platform_env()
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
 

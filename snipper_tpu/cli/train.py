@@ -35,17 +35,20 @@ def main():
     add_data_args(parser)
     parser.add_argument("--eval_every", type=int, default=1)
     args = parser.parse_args()
+    from snipper_tpu.cli.common import respect_platform_env
+    respect_platform_env()
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
     print(f"config: {cfg}", flush=True)
 
     train_ds = build_dataset(cfg, args, "train")
     val_ds = build_dataset(cfg, args, "val")
-    n_dev = len(jax.devices())
-    global_batch = cfg.batch_size * max(n_dev, 1)
-    train_loader = DataLoader(train_ds, global_batch, shuffle=True,
+    # per-process batch: the loader shards indices across processes
+    # (DistributedSampler role); shard_batch assembles the global array.
+    local_batch = cfg.batch_size * max(jax.local_device_count(), 1)
+    train_loader = DataLoader(train_ds, local_batch, shuffle=True,
                               seed=cfg.seed)
-    val_loader = DataLoader(val_ds, global_batch, shuffle=False)
+    val_loader = DataLoader(val_ds, local_batch, shuffle=False)
     steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
 
     model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
@@ -89,7 +92,8 @@ def main():
         log = {"epoch": epoch,
                **{f"train_{k}": v for k, v in train_stats.items()}}
         if (epoch + 1) % args.eval_every == 0:
-            eval_stats = evaluate(eval_step, state.params, val_loader, cfg)
+            eval_stats = evaluate(eval_step, state.params, val_loader, cfg,
+                                  put_batch=lambda b: shard_batch(b, mesh))
             log.update({f"test_{k}": v for k, v in eval_stats.items()
                         if not k.startswith("_")})
         with open(os.path.join(args.output_dir, "log.txt"), "a") as f:

@@ -5,6 +5,12 @@ Replaces torch ``DataLoader`` + ``DistributedSampler`` + ``collate_fn``
 prefetches and collates host batches while the accelerator runs the previous
 step. Targets are already padded per sample, so collation is a plain stack
 (no NestedTensor — shapes are static by construction).
+
+Multi-host sharding (the ``DistributedSampler`` role, reference
+``main.py:229-231``): every process derives the SAME global permutation from
+``(seed, epoch)``, pads it by wrap-around to a multiple of
+``process_count``, then takes the ``process_index``-strided slice — disjoint,
+equal-length per-host index shards whose union covers the dataset.
 """
 
 from __future__ import annotations
@@ -21,7 +27,10 @@ from snipper_tpu.data.snippet import stack_batch
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        """``batch_size`` is the PER-PROCESS batch; ``process_index`` /
+        ``process_count`` default to the jax runtime's values."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -29,9 +38,22 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _shard_len(self):
+        # padded-by-wraparound shard length (identical on every process)
+        n = len(self.dataset)
+        return (n + self.process_count - 1) // self.process_count
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
@@ -39,9 +61,15 @@ class DataLoader:
         self.epoch = epoch
 
     def _indices(self):
+        """This process's index shard for the current epoch."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        if self.process_count > 1:
+            total = self._shard_len() * self.process_count
+            if total > idx.size:  # wrap-around padding, as DistributedSampler
+                idx = np.concatenate([idx, idx[: total - idx.size]])
+            idx = idx[self.process_index::self.process_count]
         return idx
 
     def __iter__(self) -> Iterator[Dict]:

@@ -13,10 +13,14 @@ Cost semantics match reference ``HungarianMatcher.forward`` term by term
 (class / root / root-vis / root-depth / joint / joint-vis / joint-depth,
 ``matcher.py:88-130``) with eps = 1e-5 (the reference's ``10e-6``).
 
-Padded-target convention: targets are padded to ``max_persons`` with
-visibility/existence zero, which makes every cost term for a padding row a
-constant (zero) — constant-cost rows never perturb the optimal assignment of
-the real rows when ``num_queries >= max_persons``.
+Padded-target convention: targets are padded to ``max_persons``; ``match``
+zeroes the cost columns of invalid (padding) slots explicitly. Zero
+visibility alone does NOT make every term constant — ``c_joint_vis`` /
+``c_root_vis`` are ``mean(pred_vis**2)`` per query for an all-zero target,
+which varies across queries and would let padding slots compete with real
+targets for queries. Masking with ``targets['valid']`` makes padding columns
+truly constant (zero), so they never perturb the optimal assignment of the
+real rows when ``num_queries >= max_persons``.
 """
 
 from __future__ import annotations
@@ -212,6 +216,10 @@ def match(
     cost = cost_matrix(outputs["pred_logits"], outputs["pred_kpts2d"],
                        outputs["pred_depth"], targets["kpts2d"],
                        targets["depth"], max_depth, weights)
+    # Zero the columns of padding slots: with an all-zero padded target the
+    # vis/MSE terms still vary across queries (mean(pred_vis^2)), so without
+    # this mask padding slots would steal queries from real targets.
+    cost = cost * targets["valid"][:, None, :].astype(cost.dtype)
     solve = hungarian if solver == "jax" else hungarian_scipy
     src_idx = solve(jax.lax.stop_gradient(cost))
     return src_idx, targets["valid"]

@@ -22,12 +22,24 @@ import numpy as np
 # orbax native checkpoints
 # --------------------------------------------------------------------------
 def save_checkpoint(ckpt_dir: str, state, epoch: int, keep: int = 100):
+    """Save one epoch checkpoint; retain only the newest ``keep`` (the
+    rotation torch users get by overwriting ``checkpoint.pth``,
+    reference ``main.py:260-265``)."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
-    path = os.path.join(os.path.abspath(ckpt_dir), f"checkpoint{epoch:04d}")
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    path = os.path.join(ckpt_dir, f"checkpoint{epoch:04d}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, jax.tree_util.tree_map(np.asarray, state),
                    force=True)
+    if jax.process_index() == 0:
+        existing = sorted(
+            d for d in os.listdir(ckpt_dir)
+            if re.fullmatch(r"checkpoint\d{4}", d))
+        for stale in existing[:-keep] if keep > 0 else []:
+            shutil.rmtree(os.path.join(ckpt_dir, stale), ignore_errors=True)
     return path
 
 

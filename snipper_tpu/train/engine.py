@@ -55,8 +55,19 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
 
+def _local_shard(x) -> np.ndarray:
+    """This host's contiguous slice of a (possibly multi-host) global array
+    whose leading axis is data-sharded. Single-process: the whole array."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def evaluate(eval_step_fn, params, loader, cfg: Config,
-             print_freq: int = 10, collect_results: bool = False) -> Dict:
+             print_freq: int = 10, collect_results: bool = False,
+             put_batch=None) -> Dict:
     logger = MetricLogger()
     T, Tf = cfg.num_frames, cfg.num_future_frames
     pose3d = {k: [] for k in POSE3D_KEYS}
@@ -64,13 +75,17 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
     all_results = []
 
     for batch in logger.log_every(loader, print_freq, "Eval:"):
-        outputs, losses, src_idx = eval_step_fn(
-            params, _to_device_batch(batch))
+        dev_batch = _to_device_batch(batch)
+        if put_batch is not None:
+            dev_batch = put_batch(dev_batch)
+        outputs, losses, src_idx = eval_step_fn(params, dev_batch)
         logger.update(**{k: float(v) for k, v in losses.items()})
-        outputs_np = {k: np.asarray(v) for k, v in outputs.items()
+        # postprocess only THIS host's shard of the global outputs —
+        # batch["meta"] is host-local (the loader's per-process slice)
+        outputs_np = {k: _local_shard(v) for k, v in outputs.items()
                       if k in ("pred_logits", "pred_kpts2d", "pred_depth")}
         results = postprocess(outputs_np, batch["meta"],
-                              np.asarray(src_idx))
+                              _local_shard(src_idx))
         if collect_results:
             all_results.extend(results)
         for key in POSE3D_KEYS:
@@ -87,12 +102,20 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
                 else:
                     pose3d_future[key].append(fut)
 
-    # multi-host: merge per-host result lists (replaces the reference's
-    # pickle-file rendezvous, main.py:291-322)
-    if collect_results and jax.process_count() > 1:
-        from snipper_tpu.parallel.multihost import merge_eval_results
+    # multi-host: merge per-host result lists and 3D pose error arrays
+    # (replaces the reference's pickle-file rendezvous, main.py:291-322;
+    # each host contributed a DISJOINT shard, so this is a true union)
+    if jax.process_count() > 1:
+        from snipper_tpu.parallel.multihost import (all_gather_objects,
+                                                    merge_eval_results)
 
-        all_results = merge_eval_results(all_results)
+        if collect_results:
+            all_results = merge_eval_results(all_results)
+        for acc in (pose3d, pose3d_future):
+            local = {k: (np.concatenate(v) if v else np.zeros((0,)))
+                     for k, v in acc.items()}
+            for k in acc:
+                acc[k] = [chunk[k] for chunk in all_gather_objects(local)]
 
     stats = {k: m.global_avg for k, m in logger.meters.items()}
     for name, acc in (("", pose3d), ("future_", pose3d_future)):

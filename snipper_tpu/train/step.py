@@ -81,10 +81,19 @@ def make_train_step(
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Place a host batch with its leading axis sharded over ``data``."""
+    """Place a host batch with its leading axis sharded over ``data``.
+
+    Single-process: a plain ``device_put``. Multi-process (real multi-host
+    TPU): each host holds only its per-process batch shard (the loader's
+    DistributedSampler-style slice), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the leading axis of the
+    GLOBAL batch is ``process_count *`` the local leading axis."""
     data = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data), batch)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data), batch)
+        lambda x: jax.make_array_from_process_local_data(data, x), batch)
 
 
 def replicate(tree, mesh: Mesh):

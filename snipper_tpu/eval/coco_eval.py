@@ -1,11 +1,28 @@
 """COCO keypoint result writer + OKS-based AP evaluation.
 
 Counterpart of reference ``write_val_results_coco`` / ``eval_coco_val_results``
-(``datasets/hybrid_dataloader.py:1876-1915``). pycocotools is not available
-in this image, so a self-contained COCOeval-keypoints implementation is
-provided: standard OKS with the 17-keypoint sigmas, AP/AR averaged over OKS
-thresholds 0.5:0.05:0.95, greedy per-image matching by descending score
-(the COCOeval algorithm), medium/large area splits.
+(``datasets/hybrid_dataloader.py:1876-1915``), which delegate scoring to
+pycocotools ``COCOeval(..., 'keypoints')``. pycocotools is not available in
+this image, so this module re-implements COCOeval's keypoint protocol
+faithfully and self-contained:
+
+- OKS with the 17-keypoint sigmas (``e = d^2 / (2 * area * (2*sigma)^2)``),
+  including the bbox-expanded fallback region for GTs with no labeled
+  keypoints (cocoeval.py ``computeOks``).
+- ignore semantics: ``iscrowd`` or ``num_keypoints == 0`` GTs are kept as
+  *ignore regions* — detections matched to them are removed from scoring
+  (neither TP nor FP), and crowd GTs may absorb multiple detections.
+- greedy per-image matching by descending score that picks the BEST OKS
+  match (not the first above threshold), never steals a matched non-crowd
+  GT, and stops at ignore GTs once a real match exists
+  (cocoeval.py ``evaluateImg``).
+- ``maxDets`` truncation (20 for keypoints), area-range sweep
+  (all / medium 32^2-96^2 / large 96^2-1e5^2), unmatched detections outside
+  the area range ignored.
+- accumulation with 101-point interpolated precision
+  (``np.searchsorted(rec, recThrs, side='left')``) and AR = max recall,
+  averaged over OKS thresholds 0.5:0.05:0.95 (cocoeval.py ``accumulate`` /
+  ``summarize``).
 
 The reference's writer also carries a known wart — it gates on a
 ``self.eval_coco`` attribute that is never set (``:1878``), which would
@@ -16,18 +33,26 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from snipper_tpu.data.skeleton import JOINT15_TO_COCO
 
-# standard COCO keypoint sigmas (17 kpts)
+# standard COCO keypoint sigmas (17 kpts); k = 2*sigma per COCOeval
 COCO_SIGMAS = np.array([
     .026, .025, .025, .035, .035, .079, .079, .072, .072, .062, .062,
-    .107, .107, .087, .087, .089, .089]) * 2  # k = 2*sigma per COCOeval
+    .107, .107, .087, .087, .089, .089]) * 2
 
-OKS_THRESHOLDS = np.arange(0.5, 0.99, 0.05)
+OKS_THRESHOLDS = np.arange(0.5, 0.955, 0.05)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = 20
 
 
 def write_coco_results(results: Dict, output_dir: str) -> str:
@@ -53,91 +78,168 @@ def write_coco_results(results: Dict, output_dir: str) -> str:
     return path
 
 
-def compute_oks(gt_kpts: np.ndarray, gt_area: float, dt_kpts: np.ndarray
-                ) -> float:
-    """OKS between one GT and one detection; kpts ``[17, 3]``."""
-    vis = gt_kpts[:, 2] > 0
-    if not vis.any():
-        return 0.0
-    d2 = ((gt_kpts[:, 0] - dt_kpts[:, 0]) ** 2
-          + (gt_kpts[:, 1] - dt_kpts[:, 1]) ** 2)
-    var = (COCO_SIGMAS ** 2) * 2.0 * max(gt_area, 1e-6)
-    e = d2[vis] / var[vis]
-    return float(np.mean(np.exp(-e)))
+def _dt_bbox_area(kpts: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Detection bbox/area from its keypoints, as pycocotools ``loadRes``
+    computes them for keypoint results (coco.py loadRes)."""
+    x, y = kpts[:, 0], kpts[:, 1]
+    x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
+    return np.array([x0, y0, x1 - x0, y1 - y0]), float((x1 - x0) * (y1 - y0))
+
+
+def compute_oks(gt: dict, dt_kpts: np.ndarray,
+                sigmas: np.ndarray = COCO_SIGMAS) -> float:
+    """OKS between one GT annotation dict and one detection ``[K, 3]``
+    (cocoeval.py ``computeOks``, including the k1==0 bbox fallback)."""
+    g = np.asarray(gt["keypoints"], np.float64).reshape(-1, 3)
+    xg, yg, vg = g[:, 0], g[:, 1], g[:, 2]
+    xd, yd = dt_kpts[:, 0], dt_kpts[:, 1]
+    k1 = int((vg > 0).sum())
+    if k1 > 0:
+        dx = xd - xg
+        dy = yd - yg
+    else:
+        # no labeled keypoints: measure distance to the doubled bbox region
+        x0, y0, w, h = np.asarray(gt["bbox"], np.float64)
+        z = np.zeros_like(xd)
+        dx = np.maximum(z, (x0 - w) - xd) + np.maximum(z, xd - (x0 + 2 * w))
+        dy = np.maximum(z, (y0 - h) - yd) + np.maximum(z, yd - (y0 + 2 * h))
+    var = sigmas ** 2
+    e = (dx ** 2 + dy ** 2) / var / (gt.get("area", 1e9) + np.spacing(1)) / 2
+    if k1 > 0:
+        e = e[vg > 0]
+    return float(np.sum(np.exp(-e)) / e.shape[0])
+
+
+def _gt_ignore(g: dict) -> bool:
+    return bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0)) \
+        or int(g.get("num_keypoints", 1)) == 0
+
+
+def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_dets: int):
+    """Single-image/threshold-sweep matching (cocoeval.py ``evaluateImg``).
+
+    Returns ``(dt_scores, dtm [T, D], dt_ig [T, D], n_gt)`` for the non-
+    ignore GT count within ``area_rng``.
+    """
+    if not gts and not dts:
+        return np.zeros(0), np.zeros((len(OKS_THRESHOLDS), 0)), \
+            np.zeros((len(OKS_THRESHOLDS), 0), bool), 0
+    gt_ig = np.array([
+        1 if (_gt_ignore(g) or not (area_rng[0] <= g.get("area", 1e9)
+                                    < area_rng[1]))
+        else 0 for g in gts])
+    # sort: non-ignore GTs first (stable), as COCOeval does
+    gorder = np.argsort(gt_ig, kind="stable")
+    gts = [gts[i] for i in gorder]
+    gt_ig = gt_ig[gorder]
+    iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
+
+    dts = sorted(dts, key=lambda d: -d["score"])[:max_dets]
+    dt_kpts = [np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
+               for d in dts]
+    dt_areas = np.array([_dt_bbox_area(k)[1] for k in dt_kpts]) \
+        if dts else np.zeros(0)
+
+    ious = np.zeros((len(dts), len(gts)))
+    for di, dk in enumerate(dt_kpts):
+        for gi, g in enumerate(gts):
+            ious[di, gi] = compute_oks(g, dk)
+
+    T, D, G = len(OKS_THRESHOLDS), len(dts), len(gts)
+    gtm = np.zeros((T, G))
+    dtm = np.zeros((T, D))
+    dt_ig = np.zeros((T, D), bool)
+    for ti, t in enumerate(OKS_THRESHOLDS):
+        for di in range(D):
+            iou = min(t, 1 - 1e-10)
+            m = -1
+            for gi in range(G):
+                if gtm[ti, gi] > 0 and not iscrowd[gi]:
+                    continue
+                # reached ignore GTs with a real match in hand: stop
+                if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
+                    break
+                if ious[di, gi] < iou:
+                    continue
+                iou = ious[di, gi]
+                m = gi
+            if m == -1:
+                continue
+            dt_ig[ti, di] = bool(gt_ig[m])
+            dtm[ti, di] = 1 + m
+            gtm[ti, m] = 1 + di
+    # unmatched detections outside the area range are ignored too
+    a_out = (dt_areas < area_rng[0]) | (dt_areas >= area_rng[1])
+    dt_ig = dt_ig | ((dtm == 0) & a_out[None, :])
+    return (np.array([d["score"] for d in dts]), dtm, dt_ig,
+            int((gt_ig == 0).sum()))
+
+
+def _accumulate(per_img: List[tuple]) -> Dict[str, float]:
+    """Precision/recall accumulation (cocoeval.py ``accumulate``)."""
+    n_gt = sum(r[3] for r in per_img)
+    if n_gt == 0:
+        return {"AP": -1.0, "AP50": -1.0, "AP75": -1.0, "AR": -1.0}
+    scores = np.concatenate([r[0] for r in per_img]) if per_img else \
+        np.zeros(0)
+    order = np.argsort(-scores, kind="mergesort")
+    aps, ars = [], []
+    for ti in range(len(OKS_THRESHOLDS)):
+        dtm = np.concatenate([r[1][ti] for r in per_img])[order]
+        dt_ig = np.concatenate([r[2][ti] for r in per_img])[order]
+        tp = (dtm > 0) & ~dt_ig
+        fp = (dtm == 0) & ~dt_ig
+        ctp = np.cumsum(tp).astype(np.float64)
+        cfp = np.cumsum(fp).astype(np.float64)
+        rec = ctp / n_gt
+        prec = ctp / np.maximum(ctp + cfp, np.spacing(1))
+        # precision envelope + 101-point interpolation
+        for i in range(len(prec) - 1, 0, -1):
+            if prec[i] > prec[i - 1]:
+                prec[i - 1] = prec[i]
+        inds = np.searchsorted(rec, REC_THRS, side="left")
+        q = np.zeros(len(REC_THRS))
+        valid = inds < len(prec)
+        q[valid] = prec[inds[valid]]
+        aps.append(q.mean())
+        ars.append(rec[-1] if len(rec) else 0.0)
+    return {"AP": float(np.mean(aps)), "AP50": float(aps[0]),
+            "AP75": float(aps[5]), "AR": float(np.mean(ars))}
 
 
 def evaluate_coco_keypoints(gt_json_path: str, pred_json_path: str,
-                            area_rng=(32 ** 2, 1e10)) -> Dict[str, float]:
-    """OKS AP/AR over thresholds 0.5:0.05:0.95 (COCOeval 'keypoints')."""
+                            max_dets: int = MAX_DETS) -> Dict[str, float]:
+    """COCOeval-keypoints metrics: AP/AP50/AP75/AP_medium/AP_large and
+    AR/AR_medium/AR_large at ``maxDets`` (the keypoint summarize table,
+    cocoeval.py ``summarize`` kp branch)."""
     with open(gt_json_path) as f:
         gt = json.load(f)
     with open(pred_json_path) as f:
         preds = json.load(f)
 
     gts_by_img: Dict[int, list] = {}
+    img_ids = set()
+    for img in gt.get("images", []):
+        img_ids.add(img["id"])
     for a in gt.get("annotations", []):
-        if a.get("num_keypoints", 1) == 0:
-            continue
         gts_by_img.setdefault(a["image_id"], []).append(a)
+        img_ids.add(a["image_id"])
     dts_by_img: Dict[int, list] = {}
     for d in preds:
         dts_by_img.setdefault(d["image_id"], []).append(d)
+        img_ids.add(d["image_id"])
 
-    tps = {t: [] for t in OKS_THRESHOLDS}
-    scores_all = []
-    n_gt = 0
-    for img_id, gts in gts_by_img.items():
-        gts = [g for g in gts
-               if area_rng[0] <= g.get("area", 1e9) < area_rng[1]]
-        n_gt += len(gts)
-        dts = sorted(dts_by_img.get(img_id, []),
-                     key=lambda d: -d["score"])
-        gk = [np.asarray(g["keypoints"], np.float64).reshape(-1, 3)
-              for g in gts]
-        ga = [g.get("area", 1e9) for g in gts]
-        oks = np.zeros((len(dts), len(gts)))
-        for i, d in enumerate(dts):
-            dk = np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
-            for j in range(len(gts)):
-                oks[i, j] = compute_oks(gk[j], ga[j], dk)
-        for t in OKS_THRESHOLDS:
-            taken = np.zeros(len(gts), bool)
-            tp = []
-            for i in range(len(dts)):
-                best, bj = t, -1
-                for j in range(len(gts)):
-                    if not taken[j] and oks[i, j] >= best:
-                        best, bj = oks[i, j], j
-                if bj >= 0:
-                    taken[bj] = True
-                    tp.append(True)
-                else:
-                    tp.append(False)
-            tps[t].append(np.asarray(tp, bool))
-        scores_all.append(np.asarray([d["score"] for d in dts]))
-
-    if n_gt == 0:
-        return {"AP": float("nan"), "AR": float("nan")}
-    scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
-    order = np.argsort(-scores)
-    aps, ars = [], []
-    for t in OKS_THRESHOLDS:
-        tp = (np.concatenate(tps[t]) if tps[t] else np.zeros(0, bool))[order]
-        ctp = np.cumsum(tp)
-        cfp = np.cumsum(~tp)
-        rec = ctp / n_gt
-        prec = ctp / np.maximum(ctp + cfp, 1e-12)
-        # COCO 101-point interpolation
-        rthrs = np.linspace(0, 1, 101)
-        q = np.zeros(101)
-        prec_env = prec.copy()
-        for i in range(len(prec_env) - 2, -1, -1):
-            prec_env[i] = max(prec_env[i], prec_env[i + 1])
-        inds = np.searchsorted(rec, rthrs, side="left")
-        for ri, pi in enumerate(inds):
-            if pi < len(prec_env):
-                q[ri] = prec_env[pi]
-        aps.append(q.mean())
-        ars.append(rec[-1] if len(rec) else 0.0)
-    return {"AP": float(np.mean(aps)), "AP50": float(aps[0]),
-            "AP75": float(aps[5]), "AR": float(np.mean(ars))}
+    out: Dict[str, float] = {}
+    for aname, arng in AREA_RANGES.items():
+        per_img = [
+            _evaluate_img(gts_by_img.get(i, []), dts_by_img.get(i, []),
+                          arng, max_dets)
+            for i in sorted(img_ids)
+        ]
+        m = _accumulate(per_img)
+        if aname == "all":
+            out.update(m)
+        else:
+            out[f"AP_{aname}"] = m["AP"]
+            out[f"AR_{aname}"] = m["AR"]
+    return out

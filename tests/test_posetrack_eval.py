@@ -91,3 +91,89 @@ def test_voc_ap_simple():
     rec = np.array([1.0, 1.0])
     prec = np.array([1.0, 0.5])
     assert abs(voc_ap(rec, prec) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# CLEAR-MOT golden vectors (hand-derived from motmetrics semantics:
+# persistent correspondences carried over gaps, continuation preferred over
+# globally-cheaper Hungarian re-assignment, SWITCH counted when a known
+# object re-matches a different hypothesis; MOTP = (1 - avg_dist) * 100 per
+# reference poseval_old/evaluateTracking.py:168)
+# ---------------------------------------------------------------------------
+def test_mot_golden_carry_forward_switch_across_gap():
+    """g1 matches p1, disappears from predictions for one frame, then
+    matches p2: the retained g1->p1 correspondence makes frame 4 a SWITCH.
+    Without carry-forward MOTA would be 75; motmetrics says 50."""
+    from snipper_tpu.eval.posetrack_eval import MOTAccumulator
+
+    acc = MOTAccumulator()
+    acc.update(["g1"], ["p1"], np.array([[0.1]]))          # MATCH
+    acc.update(["g1"], [], np.zeros((1, 0)))               # MISS (corr kept)
+    acc.update(["g1"], ["p1"], np.array([[0.2]]))          # MATCH (same id)
+    acc.update(["g1"], ["p2"], np.array([[0.1]]))          # SWITCH
+    m = acc.metrics
+    assert acc.num_switches == 1
+    assert acc.num_matches == 3
+    assert acc.num_miss == 1 and acc.num_fp == 0
+    np.testing.assert_allclose(m["mota"], 50.0)
+    np.testing.assert_allclose(m["motp"], (1 - (0.1 + 0.2 + 0.1) / 3) * 100)
+
+
+def test_mot_golden_continuation_beats_cheaper_hungarian():
+    """Existing correspondences are kept when still valid even when a global
+    re-assignment would be cheaper (motmetrics preferential matching)."""
+    from snipper_tpu.eval.posetrack_eval import MOTAccumulator
+
+    nan = np.nan
+    acc = MOTAccumulator()
+    acc.update(["g1", "g2"], ["p1", "p2"],
+               np.array([[0.4, nan], [0.3, 0.45]]))
+    # frame 2: Hungarian alone would pick g1-p2 + g2-p1 (0.36 total), but
+    # both previous pairs are still valid and must be continued
+    acc.update(["g1", "g2"], ["p1", "p2"],
+               np.array([[0.4, 0.35], [0.01, 0.45]]))
+    m = acc.metrics
+    assert acc.num_switches == 0
+    assert acc.num_matches == 4
+    np.testing.assert_allclose(m["mota"], 100.0)
+    np.testing.assert_allclose(
+        m["motp"], (1 - (0.4 + 0.45 + 0.4 + 0.45) / 4) * 100)
+
+
+def test_mot_golden_miss_fp_counting():
+    from snipper_tpu.eval.posetrack_eval import MOTAccumulator
+
+    nan = np.nan
+    acc = MOTAccumulator()
+    # g1 matched by p1; g2 missed; p9 a false positive
+    acc.update(["g1", "g2"], ["p1", "p9"],
+               np.array([[0.2, nan], [nan, nan]]))
+    m = acc.metrics
+    assert (acc.num_matches, acc.num_miss, acc.num_fp) == (1, 1, 1)
+    np.testing.assert_allclose(m["mota"], 0.0)
+    np.testing.assert_allclose(m["motp"], 80.0)
+    np.testing.assert_allclose(m["pre"], 50.0)
+    np.testing.assert_allclose(m["rec"], 50.0)
+
+
+def test_mot_golden_end_to_end_single_joint():
+    """The carry-forward golden scenario driven through assign_frame +
+    evaluate_tracking with real Frame geometry (1 joint, head_size-scaled
+    distances)."""
+    from snipper_tpu.eval.posetrack_eval import Frame, evaluate_tracking
+
+    def gt_frame(x):
+        k = np.array([[[x, 0.0, 2.0]]])
+        return Frame(k, np.array([1]), head_sizes=np.array([1.0]), seq="s")
+
+    def pr_frame(x, tid):
+        k = np.array([[[x, 0.0, 0.9]]])
+        return Frame(k, np.array([tid]), seq="s")
+
+    empty_pr = Frame(np.zeros((0, 1, 3)), np.zeros(0, np.int64), seq="s")
+    gts = [gt_frame(0.0)] * 4
+    prs = [pr_frame(0.1, 7), empty_pr, pr_frame(0.2, 7), pr_frame(0.1, 8)]
+    out = evaluate_tracking(gts, prs)
+    np.testing.assert_allclose(out["mota"][0], 50.0)
+    np.testing.assert_allclose(out["motp"][0],
+                               (1 - (0.1 + 0.2 + 0.1) / 3) * 100)

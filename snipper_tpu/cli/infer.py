@@ -82,12 +82,31 @@ def main():
         pickle.dump({"frames": frames, "max_pid": max_pid}, f)
 
     if args.save_visuals:
-        from snipper_tpu.infer.visualize import save_as_gif, save_visual_results
+        from snipper_tpu.infer.visualize import (save_as_videos,
+                                                 save_visual_results,
+                                                 visualize_attention,
+                                                 visualize_heatmaps)
 
         save_visual_results(frames, all_files, args.data_dir,
-                            args.output_dir, max_pid, cfg.max_depth)
-        save_as_gif(os.path.join(args.output_dir, "pose2d"),
-                    os.path.join(args.output_dir, "tracking.gif"))
+                            args.output_dir, max_pid, cfg.max_depth,
+                            gap=args.seq_gap)
+        save_as_videos(args.output_dir, sorted(frames.keys()), all_files)
+        # heatmap + attention-sampling overlays from the first snippet
+        # (reference visualize_heatmaps / the never-consumed attention
+        # plumbing, inference_utils.py:622-644, ms_deform_attn.py:167-233)
+        s0 = samples[0]
+        out0 = model.apply({"params": params}, jnp.asarray(s0["imgs"])[None],
+                           return_attn=True)
+        visualize_heatmaps([np.asarray(h) for h in out0["heatmaps"]],
+                           np.asarray(s0["imgs"]),
+                           os.path.join(args.output_dir, "heatmaps"))
+        prob0 = np.asarray(
+            jax.nn.softmax(out0["pred_logits"], -1))[0, :, :, 1].mean(-1)
+        visualize_attention(
+            [(np.asarray(l), np.asarray(a)) for l, a in out0["attn_data"]],
+            np.asarray(s0["imgs"]),
+            os.path.join(args.output_dir, "attention"),
+            query_scores=prob0)
     print(f"results written to {args.output_dir}", flush=True)
 
 

@@ -74,10 +74,14 @@ class Snipper(nn.Module):
         for src in srcs:
             _, h, w, _ = src.shape
             if mask is not None:
-                # nearest-neighbor downsample of the pad mask (reference
-                # interpolates the float mask, models/backbone.py:93)
-                m = jax.image.resize(mask.astype(jnp.float32), (B, T, h, w),
-                                     method="nearest") > 0.5
+                # nearest-neighbor downsample of the pad mask with TORCH's
+                # convention src = floor(dst * in/out) (reference
+                # ``F.interpolate(m.float(), size)`` , models/backbone.py:93;
+                # jax.image.resize samples pixel centers, which differs on
+                # non-block-aligned masks)
+                iy = (jnp.arange(h) * H) // h
+                ix = (jnp.arange(w) * W) // w
+                m = mask[:, :, iy][:, :, :, ix]
             else:
                 m = jnp.zeros((B, T, h, w), bool)
             masks.append(m)

@@ -123,11 +123,14 @@ class TorchTemporalDeformAttn(nn.Module):
         self.value_proj = nn.Linear(d, d)
         self.output_proj = nn.Linear(d, d)
 
-    def forward(self, query, ref, src, shapes):
+    def forward(self, query, ref, src, shapes, padding_mask=None):
         # query [B, T1, Lq, C], ref [B, T1, Lq, L, 2], src [B, T2, S, C]
         B, T1, Lq, C = query.shape
         T2 = src.shape[1]
-        value = self.value_proj(src).view(B, T2, -1, self.H, C // self.H)
+        value = self.value_proj(src)
+        if padding_mask is not None:  # [B, T2, S] True = pad
+            value = value.masked_fill(padding_mask[..., None], 0.0)
+        value = value.view(B, T2, -1, self.H, C // self.H)
         normalizer = torch.tensor([[w, h] for h, w in shapes],
                                   dtype=torch.float32)
         outs = []
@@ -160,8 +163,9 @@ class TorchEncLayer(nn.Module):
         self.linear2 = nn.Linear(ffn, d)
         self.norm2 = nn.LayerNorm(d)
 
-    def forward(self, src, pos, ref, shapes):
-        src = self.norm1(src + self.self_attn(src + pos, ref, src, shapes))
+    def forward(self, src, pos, ref, shapes, padding_mask=None):
+        src = self.norm1(src + self.self_attn(src + pos, ref, src, shapes,
+                                              padding_mask))
         return self.norm2(src + self.linear2(F.relu(self.linear1(src))))
 
 
@@ -176,14 +180,14 @@ class TorchDecLayer(nn.Module):
         self.linear2 = nn.Linear(ffn, d)
         self.norm3 = nn.LayerNorm(d)
 
-    def forward(self, tgt, qpos, ref, src, shapes):
+    def forward(self, tgt, qpos, ref, src, shapes, padding_mask=None):
         B, t, lq, c = tgt.shape
         t2d = tgt.view(B, t * lq, c)
         p2d = qpos.reshape(B, t * lq, c)
         q = (t2d + p2d).transpose(0, 1)
         sa = self.self_attn(q, q, t2d.transpose(0, 1))[0].transpose(0, 1)
         tgt = self.norm2(t2d + sa).view(B, t, lq, c)
-        ca = self.cross_attn(tgt + qpos, ref, src, shapes)
+        ca = self.cross_attn(tgt + qpos, ref, src, shapes, padding_mask)
         tgt = self.norm1(tgt + ca)
         return self.norm3(tgt + self.linear2(F.relu(self.linear1(tgt))))
 
@@ -193,21 +197,31 @@ class TorchSnipper(nn.Module):
         super().__init__()
         d = cfg.hidden_dim
         self.cfg = cfg
+        self.L = cfg.num_feature_levels
+        self.T1 = cfg.num_frames + cfg.num_future_frames
         self.body = TorchResNet()
         chans = (512, 1024, 2048)
-        self.input_proj = nn.ModuleList([
-            nn.Sequential(nn.Conv2d(c, d, 1), nn.GroupNorm(32, d))
-            for c in chans])
-        self.query_embed = nn.Embedding(cfg.num_queries * T1, d * 2)
-        self.level_embed = nn.Parameter(torch.randn(L, d))
-        self.temporal_embed = nn.Parameter(torch.randn(T1, d))
+        projs = [nn.Sequential(nn.Conv2d(c, d, 1), nn.GroupNorm(32, d))
+                 for c in chans[: self.L]]
+        # extra pyramid levels: stride-2 3x3 conv, first from C5 then chained
+        # (reference models/model.py:67-89 / deformable-DETR convention)
+        cin = chans[-1]
+        for _ in range(len(chans), self.L):
+            projs.append(nn.Sequential(
+                nn.Conv2d(cin, d, 3, stride=2, padding=1),
+                nn.GroupNorm(32, d)))
+            cin = d
+        self.input_proj = nn.ModuleList(projs)
+        self.query_embed = nn.Embedding(cfg.num_queries * self.T1, d * 2)
+        self.level_embed = nn.Parameter(torch.randn(self.L, d))
+        self.temporal_embed = nn.Parameter(torch.randn(self.T1, d))
         self.reference_points = nn.Linear(d, 2)
         self.enc = nn.ModuleList([
-            TorchEncLayer(d, cfg.dim_feedforward, L, cfg.nheads,
+            TorchEncLayer(d, cfg.dim_feedforward, self.L, cfg.nheads,
                           cfg.enc_n_points, cfg.num_frames)
             for _ in range(cfg.enc_layers)])
         self.dec = nn.ModuleList([
-            TorchDecLayer(d, cfg.dim_feedforward, L, cfg.nheads,
+            TorchDecLayer(d, cfg.dim_feedforward, self.L, cfg.nheads,
                           cfg.dec_n_points, cfg.num_frames)
             for _ in range(cfg.dec_layers)])
         self.class_embed = nn.Linear(d, 2)
@@ -216,8 +230,8 @@ class TorchSnipper(nn.Module):
             [nn.Linear(d, 4) for _ in range(cfg.num_kpts - 1)])
 
     @staticmethod
-    def posenc3d(B, T, h, w, feats):
-        not_mask = torch.ones(B, T, h, w)
+    def posenc3d(not_mask, feats):
+        # not_mask [B, T, h, w] float
         z = not_mask.cumsum(1)
         y = not_mask.cumsum(2)
         x = not_mask.cumsum(3)
@@ -234,35 +248,72 @@ class TorchSnipper(nn.Module):
                                -1).flatten(-2)
         return torch.cat((f(z), f(y), f(x)), -1)
 
-    def forward(self, images):
-        # images [B, T, H, W, 3]
+    def forward(self, images, mask=None):
+        # images [B, T, H, W, 3]; mask [B, T, H, W] bool True = pad
         cfg = self.cfg
-        B, T = images.shape[:2]
+        L = self.L
+        T1 = self.T1
+        B, T, H, W = images.shape[:4]
         x = images.reshape(B * T, *images.shape[2:]).permute(0, 3, 1, 2)
         feats = self.body(x)
-        srcs, poses, shapes = [], [], []
-        for lvl, f_ in enumerate(feats):
-            s = self.input_proj[lvl](f_)
+        projected = [self.input_proj[lvl](f_)
+                     for lvl, f_ in enumerate(feats[:L])]
+        extra = feats[-1]
+        for lvl in range(len(feats), L):
+            extra = self.input_proj[lvl](extra)
+            projected.append(extra)
+        srcs, poses, shapes, masks = [], [], [], []
+        for lvl, s in enumerate(projected):
             n, c, h, w = s.shape
             shapes.append((h, w))
             srcs.append(s.reshape(B, T, c, h, w).permute(0, 1, 3, 4, 2))
-            pe = self.posenc3d(B, T, h, w, c // 3)
+            if mask is not None:
+                # F.interpolate(nearest) convention: src = floor(dst*in/out)
+                m = F.interpolate(mask.float().view(B * T, 1, H, W),
+                                  size=(h, w)).bool().view(B, T, h, w)
+            else:
+                m = torch.zeros(B, T, h, w, dtype=torch.bool)
+            masks.append(m)
+            pe = self.posenc3d((~m).float(), c // 3)
             poses.append(pe + self.level_embed[lvl][None, None, None, None])
         src = torch.cat([s.reshape(B, T, -1, s.shape[-1]) for s in srcs], 2)
         pos = torch.cat([p.reshape(B, T, -1, p.shape[-1]) for p in poses], 2)
+        if mask is not None:
+            pad_flat = torch.cat([m.reshape(B, T, -1) for m in masks], 2)
+            # per-level valid ratios from frame 0 (w_ratio, h_ratio)
+            valid_ratios = torch.stack(
+                [torch.stack([(~m[:, 0, 0, :]).sum(1) / m.shape[3],
+                              (~m[:, 0, :, 0]).sum(1) / m.shape[2]], -1)
+                 for m in masks], 1).float()           # [B, L, 2]
+        else:
+            pad_flat = None
+            valid_ratios = torch.ones(B, L, 2)
 
-        # encoder ref points
+        # encoder ref points (reference get_reference_points with
+        # valid-ratio normalization, deformable_transformer.py:219-232)
         refs = []
-        for (h, w) in shapes:
+        for lvl, (h, w) in enumerate(shapes):
             gy, gx = torch.meshgrid(torch.arange(h) + 0.5,
                                     torch.arange(w) + 0.5, indexing="ij")
-            refs.append(torch.stack([gx.reshape(-1) / w,
-                                     gy.reshape(-1) / h], -1))
-        enc_ref = torch.cat(refs, 0)[None, None, :, None, :].expand(
-            B, T, -1, L, -1)
+            ry = gy.reshape(-1)[None] / (valid_ratios[:, None, lvl, 1] * h)
+            rx = gx.reshape(-1)[None] / (valid_ratios[:, None, lvl, 0] * w)
+            refs.append(torch.stack([rx, ry], -1))      # [B, hw, 2]
+        enc_ref = torch.cat(refs, 1)                     # [B, S, 2]
+        enc_ref = enc_ref[:, :, None] * valid_ratios[:, None]  # [B, S, L, 2]
+        enc_ref = enc_ref[:, None].expand(B, T, -1, L, -1)
         mem = src
         for layer in self.enc:
-            mem = layer(mem, pos, enc_ref, shapes)
+            mem = layer(mem, pos, enc_ref, shapes, pad_flat)
+
+        # heatmaps: first num_kpts channels of each head of encoder memory
+        heatmaps = []
+        start = 0
+        hd = cfg.hidden_dim // cfg.nheads
+        for (h, w) in shapes:
+            m_ = mem[:, :, start:start + h * w]
+            start += h * w
+            heatmaps.append(m_.reshape(B, T, h, w, cfg.nheads,
+                                       hd)[..., : cfg.num_kpts])
 
         d = cfg.hidden_dim
         qe = self.query_embed.weight
@@ -276,8 +327,9 @@ class TorchSnipper(nn.Module):
         out_logits, out_kpts = [], []
         output = qobj
         for lid, layer in enumerate(self.dec):
-            ref_in = ref[:, :, :, None, :].expand(-1, -1, -1, L, -1)
-            output = layer(output, qpos, ref_in, mem, shapes)
+            ref_in = (ref[:, :, :, None, :]
+                      * valid_ratios[:, None, None, :, :])
+            output = layer(output, qpos, ref_in, mem, shapes, pad_flat)
             root4 = self.root_embed(output)
             inv = torch.logit(ref.clamp(1e-5, 1 - 1e-5))
             xy_logit = root4[..., 0:2] + inv
@@ -287,7 +339,7 @@ class TorchSnipper(nn.Module):
             out_logits.append(self.class_embed(output).transpose(1, 2))
             out_kpts.append(kpts.transpose(1, 2))
             ref = torch.sigmoid(xy_logit).detach()
-        return out_logits[-1], out_kpts[-1]
+        return out_logits[-1], out_kpts[-1], heatmaps
 
 
 def _reference_state_dict(tm: TorchSnipper):
@@ -325,20 +377,38 @@ def _reference_state_dict(tm: TorchSnipper):
     return sd
 
 
-def test_full_model_output_parity():
-    torch.manual_seed(0)
-    tm = TorchSnipper(CFG).eval()
+def _run_parity(cfg, with_mask=False, train_mode=False, check_heatmaps=False,
+                seed=0):
+    torch.manual_seed(seed)
+    tm = TorchSnipper(cfg).eval()
     sd = _reference_state_dict(tm)
-    params = import_torch_state_dict(sd, CFG, strict=True)
+    params = import_torch_state_dict(sd, cfg, strict=True)
 
-    model = build_model(CFG)
-    rng = np.random.default_rng(0)
-    x = rng.uniform(0, 1, (2, CFG.num_frames, CFG.input_height,
-                           CFG.input_width, 3)).astype(np.float32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (2, cfg.num_frames, cfg.input_height,
+                           cfg.input_width, 3)).astype(np.float32)
+    mask = None
+    if with_mask:
+        # ragged right/bottom zero-padding per batch element, deliberately
+        # NOT aligned to feature strides (exercises the floor-convention
+        # nearest downsample and valid_ratios)
+        mask = np.zeros((2, cfg.num_frames, cfg.input_height,
+                         cfg.input_width), bool)
+        mask[0, :, :, cfg.input_width - 27:] = True
+        mask[0, :, cfg.input_height - 13:, :] = True
+        mask[1, :, :, cfg.input_width - 5:] = True
+        x = np.where(mask[..., None], 0.0, x)
 
     with torch.no_grad():
-        t_logits, t_kpts = tm(torch.from_numpy(x))
-    out = model.apply({"params": params}, jnp.asarray(x))
+        t_logits, t_kpts, t_heat = tm(
+            torch.from_numpy(x),
+            torch.from_numpy(mask) if mask is not None else None)
+    kw = {}
+    if train_mode:  # dropout=0 configs: train path must equal eval
+        kw = dict(train=True, rngs={"dropout": jax.random.PRNGKey(0)})
+    out = model.apply({"params": params}, jnp.asarray(x),
+                      jnp.asarray(mask) if mask is not None else None, **kw)
     j_logits = np.asarray(out["pred_logits"])
     j_kpts = np.concatenate([np.asarray(out["pred_kpts2d"]),
                              np.asarray(out["pred_depth"])], -1)
@@ -346,3 +416,34 @@ def test_full_model_output_parity():
     np.testing.assert_allclose(j_logits, t_logits.numpy(), rtol=1e-3,
                                atol=2e-4)
     np.testing.assert_allclose(j_kpts, t_kpts.numpy(), rtol=1e-3, atol=2e-4)
+    if check_heatmaps:
+        assert len(out["heatmaps"]) == cfg.num_feature_levels
+        for lvl in range(cfg.num_feature_levels):
+            np.testing.assert_allclose(
+                np.asarray(out["heatmaps"][lvl]), t_heat[lvl].numpy(),
+                rtol=1e-3, atol=2e-4)
+
+
+def test_full_model_output_parity():
+    _run_parity(CFG, check_heatmaps=True)
+
+
+def test_full_model_parity_masked_4levels():
+    """Padding masks + valid_ratios + the stride-2 extra feature level +
+    the train codepath (dropout 0), none covered by the base test
+    (reference models/model.py:106-221, util/misc.py:310-330)."""
+    cfg = CFG.replace(num_feature_levels=4)
+    _run_parity(cfg, with_mask=True, train_mode=True, check_heatmaps=True,
+                seed=1)
+
+
+def test_full_model_parity_t1():
+    """T=1 canonical shape family (single-frame checkpoints)."""
+    cfg = CFG.replace(num_frames=1, num_future_frames=0)
+    _run_parity(cfg, seed=2)
+
+
+def test_full_model_parity_masked_t4f2():
+    """Masked T=4+2 (forecasting) shape family."""
+    cfg = CFG.replace(num_frames=4, num_future_frames=2)
+    _run_parity(cfg, with_mask=True, seed=3)

@@ -29,9 +29,16 @@ def project(xyz: np.ndarray, intr, dist=None, simple_mode: bool = False):
     return np.stack([fx * x_pp + cx, fy * y_pp + cy, z], -1)
 
 
-def unproject(uvd: np.ndarray, intr, dist=None, simple_mode: bool = False):
-    """``uvd [..., 3]`` pixel+depth -> camera-space xyz (first-order inverse
-    distortion, identical to the reference approximation)."""
+def unproject(uvd: np.ndarray, intr, dist=None, simple_mode: bool = False,
+              iterations: int = 0):
+    """``uvd [..., 3]`` pixel+depth -> camera-space xyz.
+
+    ``iterations=0`` (default) reproduces the reference's FIRST-ORDER inverse
+    distortion exactly (``cmu_panoptic.py:10-42``) — with realistic CMU HD
+    calibration magnitudes this carries up to ~6 px of round-trip error at
+    the image border (median ~1 px), which is inherited by the reference's
+    eval unprojection. ``iterations>0`` runs the standard fixed-point
+    refinement (cv2.undistortPoints-style) to machine precision instead."""
     fx, fy, cx, cy = np.asarray(intr, np.float64)[:4]
     z = uvd[..., 2]
     x_pp = (uvd[..., 0] - cx) / fx
@@ -40,6 +47,18 @@ def unproject(uvd: np.ndarray, intr, dist=None, simple_mode: bool = False):
         return np.stack([z * x_pp, z * y_pp, z], -1)
 
     k1, k2, p1, p2, k3 = np.asarray(dist, np.float64)[:5]
+    if iterations > 0:
+        x_p, y_p = x_pp, y_pp
+        for _ in range(iterations):
+            r2 = x_p ** 2 + y_p ** 2
+            a = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+            a = a + (a == 0)
+            dx = 2 * p1 * x_p * y_p + p2 * (r2 + 2 * x_p ** 2)
+            dy = p1 * (r2 + 2 * y_p ** 2) + 2 * p2 * x_p * y_p
+            x_p = (x_pp - dx) / a
+            y_p = (y_pp - dy) / a
+        return np.stack([z * x_p, z * y_p, z], -1)
+
     r2 = x_pp ** 2 + y_pp ** 2
     a = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
     a = a + (a == 0)

@@ -2,7 +2,12 @@
 
 Measures snippets/sec/chip of the flagship T=4, 600x800, enc6/dec6 forward
 (the reference's canonical inference config, reference README.md:43-57 /
-inference.py:39-76) on the attached TPU, bf16 weights/activations.
+inference.py:39-76) on the attached TPU, bf16 weights/activations, using the
+windowed deformable-sampling path with a runtime exactness check (the
+model's ``sampling_overflow`` counter must be zero, else the exact
+point-merged path is used instead). Also times the canonical T=4+2 f32
+train step (batch 2, fwd + device Hungarian + 6 losses + bwd + AdamW) and
+reports it as an extra key.
 
 Methodology notes (axon TPU tunnel):
 - enqueue K iterations then read one small output once: per-call readback
@@ -10,7 +15,7 @@ Methodology notes (axon TPU tunnel):
 - ONE process at a time (the tunnel grant is single-client)
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Baseline: the reference publishes no numbers and no GPU is attached here, so
 ``vs_baseline`` is computed against an ESTIMATED A100 PyTorch throughput of
@@ -35,43 +40,85 @@ def main():
     from snipper_tpu.config import Config
     from snipper_tpu.models.snipper import init_model
 
-    cfg = Config.canonical_t4()
+    rng = np.random.default_rng(0)
+
+    # ---- inference: windowed sampling with exactness check ---------------
+    cfg = Config.canonical_t4().replace(deform_impl="windowed")
     model, params = init_model(cfg, jax.random.PRNGKey(0))
-    params = jax.tree.map(
+    params_bf16 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)["pred_logits"])
 
-    rng = np.random.default_rng(0)
-    best, best_bs = 0.0, 1
-    for bs in (1, 2):
-        try:
-            x = jnp.asarray(rng.uniform(
-                0, 1, (bs, cfg.num_frames, cfg.input_height, cfg.input_width,
-                       3)), jnp.bfloat16)
-            o = fwd(params, x)                  # compile + warm
-            np.asarray(o.astype(jnp.float32))
-            K = 8
-            t0 = time.perf_counter()
-            outs = [fwd(params, x) for _ in range(K)]
-            np.asarray(outs[-1].astype(jnp.float32))
-            sps = bs * K / (time.perf_counter() - t0)
-            if sps > best:
-                best, best_bs = sps, bs
-        except Exception as e:  # noqa: BLE001
-            print(f"# batch {bs} failed: {type(e).__name__}", flush=True)
-            break
+    x = jnp.asarray(rng.uniform(
+        0, 1, (1, cfg.num_frames, cfg.input_height, cfg.input_width, 3)),
+        jnp.bfloat16)
 
-    print(json.dumps({
+    impl = "windowed"
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    out = fwd(params_bf16, x)
+    overflow = float(np.asarray(out["sampling_overflow"]))
+    if overflow > 0:
+        # windows too tight for these weights: fall back to the exact path
+        impl = "pmerged"
+        cfg = cfg.replace(deform_impl="pmerged")
+        model, _ = init_model(cfg, jax.random.PRNGKey(0))
+        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        out = fwd(params_bf16, x)
+    np.asarray(out["pred_logits"][..., :1].astype(jnp.float32))
+
+    K = 10
+    t0 = time.perf_counter()
+    outs = [fwd(params_bf16, x)["pred_logits"] for _ in range(K)]
+    np.asarray(outs[-1][..., :1].astype(jnp.float32))
+    sps = K / (time.perf_counter() - t0)
+
+    # ---- train step: canonical T=4+2 f32, batch 2 -------------------------
+    train_ms = None
+    try:
+        from snipper_tpu.config import Config as C
+        from snipper_tpu.data.loader import DataLoader
+        from snipper_tpu.data.synthetic import SyntheticDataset
+        from snipper_tpu.losses.criterion import SetCriterion
+        from snipper_tpu.train.state import create_train_state
+        from snipper_tpu.train.step import make_train_step
+
+        tcfg = C.canonical_t4_f2()
+        tmodel, tparams = init_model(tcfg, jax.random.PRNGKey(1))
+        crit = SetCriterion(tcfg)
+        state, tx = create_train_state(tcfg, tparams, steps_per_epoch=100)
+        step = make_train_step(tmodel, crit, tx)
+        loader = DataLoader(SyntheticDataset(tcfg, n_samples=2), 2,
+                            shuffle=False, process_index=0, process_count=1)
+        raw = next(iter(loader))
+        batch = {"images": raw["images"], "targets": raw["targets"]}
+        rng_t = jax.random.PRNGKey(2)
+        state, m = step(state, batch, rng_t)      # compile
+        float(m["loss_total"])
+        Kt = 4
+        t0 = time.perf_counter()
+        for _ in range(Kt):
+            state, m = step(state, batch, rng_t)
+        float(m["loss_total"])
+        train_ms = (time.perf_counter() - t0) / Kt * 1e3
+    except Exception as e:  # noqa: BLE001
+        train_ms = f"FAIL {type(e).__name__}"
+
+    rec = {
         "metric": "inference_snippets_per_sec_per_chip_T4_600x800",
-        "value": round(best, 3),
+        "value": round(sps, 3),
         "unit": "snippets/s",
-        "vs_baseline": round(best / A100_BASELINE_SNIPPETS_PER_SEC, 3),
-        "batch_size": best_bs,
+        "vs_baseline": round(sps / A100_BASELINE_SNIPPETS_PER_SEC, 3),
+        "batch_size": 1,
         "dtype": "bfloat16",
+        "sampling_impl": impl,
+        "sampling_overflow": overflow,
+        "train_step_ms_T4F2_f32_b2": (round(train_ms, 1)
+                                      if isinstance(train_ms, float)
+                                      else train_ms),
         "note": "baseline is an estimated A100 PyTorch eager throughput "
                 "(reference publishes no numbers); see BASELINE.md",
-    }))
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

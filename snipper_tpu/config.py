@@ -43,10 +43,15 @@ class Config:
     aux_loss: bool = True
 
     # --- deformable attention implementation ------------------------------
-    # "xla"   : pure-JAX gather-based sampling (reference-parity fallback,
-    #           mirrors reference use_pytorch_deform=1)
-    # "pallas": fused Pallas TPU kernel
-    deform_impl: str = "xla"
+    # "pmerged" : exact point-merged weighted-one-hot (round-2 default;
+    #             fastest exact path measured on v5e)
+    # "windowed": pmerged with per-segment contraction windows in the
+    #             encoder (fastest; drops out-of-window taps and reports the
+    #             count as out["sampling_overflow"] — callers must verify 0,
+    #             falling back to "pmerged" otherwise). Decoder stays exact.
+    # "xla"     : round-1 corner-expanded core (reference-parity fallback)
+    # "pallas"  : fused Pallas TPU kernel (slower; kept for reference)
+    deform_impl: str = "pmerged"
 
     # --- matcher costs (reference main.py:110-121) -------------------------
     set_cost_is_human: float = 1.0

@@ -28,15 +28,20 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  prefetch: int = 2, process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 num_workers: int = 0):
         """``batch_size`` is the PER-PROCESS batch; ``process_index`` /
-        ``process_count`` default to the jax runtime's values."""
+        ``process_count`` default to the jax runtime's values.
+        ``num_workers > 0`` decodes the samples of a batch in a thread pool
+        (image decode/warp release the GIL) — the torch ``num_workers``
+        role without process forking."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
         if process_index is None or process_count is None:
             import jax
@@ -77,17 +82,30 @@ class DataLoader:
         stop = object()
 
         def worker():
+            pool = None
             try:
+                if self.num_workers > 0:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    pool = ThreadPoolExecutor(self.num_workers)
                 idx = self._indices()
                 nb = len(self)
                 for b in range(nb):
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     if len(sel) < self.batch_size and self.drop_last:
                         break
-                    q.put(stack_batch([self.dataset[int(i)] for i in sel]))
+                    if pool is not None:
+                        samples = list(pool.map(
+                            self.dataset.__getitem__,
+                            [int(i) for i in sel]))
+                    else:
+                        samples = [self.dataset[int(i)] for i in sel]
+                    q.put(stack_batch(samples))
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)
             finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
                 q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -99,3 +117,18 @@ class DataLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+def device_prefetch(iterator: Iterator[Dict], put) -> Iterator[Dict]:
+    """Double-buffered host->device feed: keep the NEXT batch's transfer in
+    flight while the current step runs (jax transfers are async), so the
+    accelerator never waits on PCIe/tunnel latency. ``put`` is e.g.
+    ``lambda b: shard_batch(b, mesh)``."""
+    pending = None
+    for batch in iterator:
+        nxt = put(batch)
+        if pending is not None:
+            yield pending
+        pending = nxt
+    if pending is not None:
+        yield pending

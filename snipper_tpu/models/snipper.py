@@ -142,6 +142,7 @@ class Snipper(nn.Module):
             out["aux_depth"] = kpts[:-1, ..., 3:4]
         out["init_reference"] = tr["init_reference"]
         out["references"] = tr["references"]
+        out["sampling_overflow"] = tr["sampling_overflow"]
         if return_attn:
             # per-decoder-layer (sampling_locations, attention_weights) for
             # visualization (reference attention_vis plumbing,

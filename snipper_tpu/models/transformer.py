@@ -67,6 +67,7 @@ class TemporalDeformAttn(nn.Module):
         spatial_shapes: Sequence[Tuple[int, int]],
         padding_mask: Optional[jnp.ndarray] = None,  # [B, T2, S] True=pad
         return_attn: bool = False,
+        query_segments: Optional[Tuple[int, ...]] = None,
     ):
         B, T1, Lq, C = query.shape
         _, T2, S, _ = value_feats.shape
@@ -97,8 +98,9 @@ class TemporalDeformAttn(nn.Module):
         logits = logits.reshape(B, T1, Lq, H, L, P)
 
         adjacency = temporal_adjacency(self.n_frames, T1)  # static numpy
-        out = temporal_deform_sample(value, spatial_shapes, loc, logits,
-                                     adjacency, impl=self.impl)
+        out, overflow = temporal_deform_sample(
+            value, spatial_shapes, loc, logits, adjacency, impl=self.impl,
+            query_segments=query_segments)
         out = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                        name="output_proj")(out)
         if return_attn:
@@ -107,8 +109,8 @@ class TemporalDeformAttn(nn.Module):
             attn = jax.nn.softmax(
                 logits.reshape(B, T1, Lq, H, L * P), -1
             ).reshape(B, T1, Lq, H, L, P)
-            return out, (loc, attn)
-        return out
+            return out, overflow, (loc, attn)
+        return out, overflow
 
 
 class TorchMultiheadAttention(nn.Module):
@@ -160,11 +162,15 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
                  padding_mask=None, train: bool = False):
-        # deformable self-attention (reference EncoderLayer.forward :200-210)
-        src2 = TemporalDeformAttn(
+        # deformable self-attention (reference EncoderLayer.forward :200-210);
+        # encoder queries are the level-concatenated pixel grid, so pass the
+        # per-level segments to enable windowed sampling
+        segments = tuple(h * w for h, w in spatial_shapes)
+        src2, overflow = TemporalDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.n_frames, impl=self.impl, name="self_attn")(
-                src + pos, reference_points, src, spatial_shapes, padding_mask)
+                src + pos, reference_points, src, spatial_shapes,
+                padding_mask, query_segments=segments)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
 
@@ -173,7 +179,7 @@ class EncoderLayer(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src), overflow
 
 
 class DecoderLayer(nn.Module):
@@ -201,8 +207,9 @@ class DecoderLayer(nn.Module):
         t2d = t2d + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(t2d).reshape(B, T1, Lq, C)
 
-        # temporal deformable cross-attention (:289-295)
-        tgt2, attn_data = TemporalDeformAttn(
+        # temporal deformable cross-attention (:289-295); decoder queries are
+        # unordered slots — always exact (no windowing)
+        tgt2, _, attn_data = TemporalDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.n_frames, impl=self.impl, name="cross_attn")(
                 tgt + query_pos, reference_points, src, spatial_shapes,
@@ -306,13 +313,15 @@ class DeformableTransformer(nn.Module):
         enc_cls = (nn.remat(EncoderLayer, static_argnums=(4, 6))
                    if self.remat else EncoderLayer)
         memory = src_flat
+        sampling_overflow = jnp.zeros((), jnp.float32)
         for i in range(self.num_encoder_layers):
-            memory = enc_cls(
+            memory, ov = enc_cls(
                 self.d_model, self.dim_feedforward, L, self.n_heads,
                 self.enc_n_points, self.n_frames, self.dropout,
                 impl=self.impl, name=f"encoder_layer{i}")(
                     memory, pos_flat, enc_ref, spatial_shapes, mask_flat,
                     train)
+            sampling_overflow = sampling_overflow + ov
 
         # ---- heatmaps from encoder memory ---------------------------------
         # first num_keypoints channels of each head
@@ -377,4 +386,7 @@ class DeformableTransformer(nn.Module):
             "init_reference": init_reference,
             "references": jnp.stack(refs_in),          # per-layer input refs
             "attn_data": attn_all,
+            # dropped-tap count of windowed sampling (0 for exact impls);
+            # consumers of impl="windowed" must check this is zero
+            "sampling_overflow": sampling_overflow,
         }

@@ -218,6 +218,207 @@ def ms_deform_attn_core(
     return out.astype(compute_dtype)
 
 
+def ms_deform_attn_pmerged(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    query_chunk: int | None = None,
+    window: Sequence[int] | None = None,
+):
+    """Point-merged weighted-one-hot sampling with optional windowing.
+
+    Exact :func:`ms_deform_attn_core` semantics, with ALL ``P * 4`` taps of
+    a query at one level folded into ONE row of the weighted one-hot —
+    ``[C, S_l] @ [S_l, D]`` per level instead of ``[C*P, S_l] @ [S_l, D]``
+    (4x fewer dot rows; same number of one-hot selects).
+
+    ``window``: optional per-level contraction window (elements, multiple of
+    128; 0 = full exact). When set, each chunk contracts only a
+    ``dynamic_slice`` of the level starting at the chunk's minimum touched
+    pixel — compare/dot width drops from ``S_l`` to ``window[l]``. Taps
+    falling outside the window contribute ZERO and are counted: the second
+    return value is the total weighted-tap overflow count, so callers can
+    assert exactness at runtime (encoder sampling locations cluster around
+    the spatially-sorted query chunk; shipped-checkpoint offsets stay well
+    inside practical windows). Returns ``out`` alone when ``window`` is
+    None, else ``(out, overflow_count)``.
+    """
+    B, S, nH, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes), (L, spatial_shapes)
+    assert S == sum(h * w for h, w in spatial_shapes)
+    compute_dtype = value.dtype
+    if query_chunk is None:
+        query_chunk = max(256, (1024 * 4) // max(B, 1))
+    win = list(window) if window is not None else [0] * L
+
+    v_hm = value.transpose(0, 2, 1, 3)          # [B, H, S, D]
+    starts = np.cumsum([0] + [h * w for h, w in spatial_shapes])[:-1]
+
+    def sample_chunk(loc_c: jax.Array, attn_c: jax.Array):
+        """loc_c [B, C, H, L, P, 2], attn_c [B, C, H, L, P] ->
+        ([B, C, H*D] f32, overflow f32)."""
+        C = loc_c.shape[1]
+        out = jnp.zeros((B, nH, C, D), jnp.float32)
+        overflow = jnp.zeros((), jnp.float32)
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            Sl = h * w
+            Ws = win[lvl] if (win[lvl] and win[lvl] < Sl) else 0
+            loc = loc_c[:, :, :, lvl]                  # [B, C, H, P, 2]
+            attn = attn_c[:, :, :, lvl].astype(jnp.float32)
+            x = loc[..., 0].astype(jnp.float32) * w - 0.5
+            y = loc[..., 1].astype(jnp.float32) * h - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            ids_c, wgt_c = [], []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    cw = ((1.0 - jnp.abs(fx - dx))
+                          * (1.0 - jnp.abs(fy - dy)))
+                    valid = ((x0 + dx >= 0) & (x0 + dx < w)
+                             & (y0 + dy >= 0) & (y0 + dy < h))
+                    xi = jnp.clip(x0 + dx, 0, w - 1)
+                    yi = jnp.clip(y0 + dy, 0, h - 1)
+                    ids_c.append((yi * w + xi).astype(jnp.int32))
+                    wgt_c.append(cw * valid.astype(cw.dtype) * attn)
+            ids = jnp.stack(ids_c, -1).transpose(0, 2, 1, 3, 4)
+            wgt = jnp.stack(wgt_c, -1).transpose(0, 2, 1, 3, 4)
+            ids = ids.reshape(B, nH, C, P * 4)         # [B, H, C, 16]
+            wgt = wgt.reshape(B, nH, C, P * 4)
+
+            if Ws:
+                # chunk-local window: min touched pixel, 128-aligned
+                live = wgt > 0
+                # sublane-aligned window start (S is the sublane dim of the
+                # [B, H, S, D] (8, 128) tiling; 8-alignment keeps the slice
+                # tile-friendly without eating window budget)
+                lo = jnp.min(jnp.where(live, ids, Sl), axis=(0, 1, 2, 3))
+                lo = jnp.clip((lo // 8) * 8, 0, max(Sl - Ws, 0))
+                local = ids - lo
+                inside = (local >= 0) & (local < Ws)
+                overflow = overflow + jnp.sum(
+                    jnp.where(live & ~inside, 1.0, 0.0))
+                ids_use = jnp.where(inside, local, Ws)  # Ws = dead column
+                wgt = jnp.where(inside, wgt, 0.0)
+                width = Ws
+                buf = jax.lax.dynamic_slice_in_dim(
+                    jax.lax.slice_in_dim(v_hm, starts[lvl],
+                                         starts[lvl] + Sl, axis=2),
+                    lo, min(Ws, Sl), axis=2)
+                if Ws > Sl:
+                    buf = jnp.pad(buf, ((0, 0), (0, 0), (0, Ws - Sl),
+                                        (0, 0)))
+            else:
+                ids_use = ids
+                width = Sl
+                buf = jax.lax.slice_in_dim(v_hm, starts[lvl],
+                                           starts[lvl] + Sl, axis=2)
+
+            iota = jnp.arange(width, dtype=jnp.int32)
+            W = jnp.zeros((B, nH, C, width), jnp.float32)
+            for k in range(P * 4):
+                W = W + jnp.where(
+                    ids_use[..., k, None] == iota[None, None, None, :],
+                    wgt[..., k, None], 0.0)
+            prec = (None if buf.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGH)
+            part = jax.lax.dot_general(
+                W.astype(buf.dtype), buf,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                precision=prec,
+                preferred_element_type=jnp.float32)    # [B, H, C, D]
+            out = out + part
+        return out.transpose(0, 2, 1, 3).reshape(B, C, nH * D), overflow
+
+    if Lq <= query_chunk:
+        out, overflow = sample_chunk(sampling_locations, attention_weights)
+    else:
+        n_chunks = -(-Lq // query_chunk)
+        Lq_pad = n_chunks * query_chunk
+        pad = [(0, 0), (0, Lq_pad - Lq)] + [(0, 0)] * 4
+        loc_p = jnp.pad(sampling_locations, pad)
+        attn_p = jnp.pad(attention_weights, pad[:-1])
+        loc_s = loc_p.reshape(B, n_chunks, query_chunk,
+                              *loc_p.shape[2:]).swapaxes(0, 1)
+        attn_s = attn_p.reshape(B, n_chunks, query_chunk,
+                                *attn_p.shape[2:]).swapaxes(0, 1)
+        chunk_fn = jax.checkpoint(sample_chunk)
+
+        def body(carry, inp):
+            lc, ac = inp
+            o, ov = chunk_fn(lc, ac)
+            return carry + ov, o
+
+        overflow, chunks = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), (loc_s, attn_s))
+        out = chunks.swapaxes(0, 1).reshape(B, Lq_pad, nH * D)[:, :Lq]
+    out = out.astype(compute_dtype)
+    if window is None:
+        return out
+    return out, overflow
+
+
+def windowed_sampling_plan(spatial_shapes: Sequence[Tuple[int, int]]):
+    """Per-query-segment chunk sizes + per-tap-level windows for encoder
+    sampling (queries = the level-concatenated pixel grid, row-major, so a
+    chunk's taps cluster spatially at every level).
+
+    Chunks scale with the query level's area, so a chunk's tap span at tap
+    level ``t`` is ~``base_chunk * S_t / S_0`` pixels regardless of which
+    segment it came from; the window adds ``margin_px`` rows of slack for
+    learned offsets (overflow is counted at runtime if exceeded). Windows
+    that wouldn't cut at least 25% are disabled (0 = full, exact).
+    """
+    base_chunk, margin_px = 1024, 8
+    sizes = [h * w for h, w in spatial_shapes]
+    s0 = sizes[0]
+    qcs = [max(64, min(base_chunk, ((base_chunk * s) // s0) // 64 * 64))
+           for s in sizes]
+    wins = []
+    for (h, w), st in zip(spatial_shapes, sizes):
+        span = (base_chunk * st) // s0
+        ws = int(-(-(span + 2 * margin_px * w + 128) // 128) * 128)
+        wins.append(0 if ws >= 0.75 * st else ws)
+    return sizes, qcs, wins
+
+
+def ms_deform_attn_windowed(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    query_segments: Sequence[int],
+) -> Tuple[jax.Array, jax.Array]:
+    """Windowed P-merged sampling over per-level query segments.
+
+    ``query_segments`` are the encoder's per-level query counts (the query
+    axis is the level-concatenated pixel grid); each segment is chunked and
+    windowed via :func:`windowed_sampling_plan`. Returns ``(out, overflow)``
+    where ``overflow`` counts weighted taps that fell outside their window
+    and were DROPPED — callers must verify ``overflow == 0`` (and fall back
+    to the exact path otherwise) to keep grid_sample-exact semantics.
+    """
+    assert sum(query_segments) == sampling_locations.shape[1], (
+        query_segments, sampling_locations.shape)
+    _, qcs, wins = windowed_sampling_plan(spatial_shapes)
+    outs = []
+    overflow = jnp.zeros((), jnp.float32)
+    q0 = 0
+    for seg, qc in zip(query_segments, qcs):
+        o, ov = ms_deform_attn_pmerged(
+            value, spatial_shapes,
+            jax.lax.slice_in_dim(sampling_locations, q0, q0 + seg, axis=1),
+            jax.lax.slice_in_dim(attention_weights, q0, q0 + seg, axis=1),
+            query_chunk=qc, window=wins)
+        outs.append(o)
+        overflow = overflow + ov
+        q0 += seg
+    return jnp.concatenate(outs, 1), overflow
+
+
 def ms_deform_attn_packed(
     value: jax.Array,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -455,7 +656,8 @@ def temporal_deform_sample(
     impl: str = "xla",
     query_chunk: int | None = None,
     onehot_max_s: int = 8192,
-) -> jax.Array:
+    query_segments: Sequence[int] | None = None,
+) -> Tuple[jax.Array, jax.Array]:
     """Temporal multi-frame deformable attention with shared per-frame
     projections (the reference's weight-sharing structure, see module
     docstring).
@@ -471,10 +673,16 @@ def temporal_deform_sample(
         ``softmax over (L, P) / count(t1)``.
       adjacency: ``[T1, T2]`` STATIC (numpy) 0/1 mask from
         :func:`temporal_adjacency`.
-      impl: "xla" or "pallas".
+      impl: "xla" (round-1 corner-expanded core), "pmerged" (exact
+        point-merged one-hot, the round-2 default), "windowed" (pmerged with
+        per-segment contraction windows; needs ``query_segments`` — falls
+        back to pmerged otherwise), or "pallas".
+      query_segments: encoder per-level query counts (enables "windowed").
 
     Returns:
-      ``[B, T1, Lq, H*D]``.
+      ``(out [B, T1, Lq, H*D], overflow scalar)`` — overflow is the count of
+      windowed taps dropped outside their window (always 0 for the exact
+      impls); callers relying on exactness must verify it is zero.
     """
     B, T1, Lq, nH, L, P = attention_logits.shape
     _, T2, S, _, D = value.shape
@@ -501,12 +709,19 @@ def temporal_deform_sample(
     loc_flat = sampling_locations.reshape(B * T1, Lq, nH, L, P, 2)
     attn_flat = attn.reshape(B * T1, Lq, nH, L, P)
 
+    overflow = jnp.zeros((), jnp.float32)
     if impl == "pallas":
         from snipper_tpu.ops.pallas_deform import ms_deform_attn_pallas
 
         out = ms_deform_attn_pallas(v_flat, spatial_shapes, loc_flat, attn_flat)
+    elif impl == "windowed" and query_segments is not None:
+        out, overflow = ms_deform_attn_windowed(
+            v_flat, spatial_shapes, loc_flat, attn_flat, query_segments)
+    elif impl in ("pmerged", "windowed"):
+        out = ms_deform_attn_pmerged(v_flat, spatial_shapes, loc_flat,
+                                     attn_flat, query_chunk=query_chunk)
     else:
         out = ms_deform_attn_core(v_flat, spatial_shapes, loc_flat, attn_flat,
                                   query_chunk=query_chunk,
                                   onehot_max_s=onehot_max_s)
-    return out.reshape(B, T1, Lq, nH * D)
+    return out.reshape(B, T1, Lq, nH * D), overflow

@@ -33,15 +33,23 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
                     put_batch=None, stop_flag=None) -> tuple:
     logger = MetricLogger()
     header = f"Epoch: [{epoch}]"
-    for i, batch in enumerate(logger.log_every(loader, print_freq, header)):
+    iterable = loader
+    if put_batch is not None:
+        # double-buffered host->device feed: next batch transfers while the
+        # current step runs (replaces torch pin_memory+non_blocking)
+        from snipper_tpu.data.loader import device_prefetch
+
+        iterable = device_prefetch(
+            (_to_device_batch(b) for b in loader), put_batch)
+    for i, batch in enumerate(logger.log_every(iterable, print_freq,
+                                               header)):
         if stop_flag is not None and stop_flag():
             print("preemption signal received — stopping epoch early",
                   flush=True)
             break
         rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + i)
-        dev_batch = _to_device_batch(batch)
-        if put_batch is not None:
-            dev_batch = put_batch(dev_batch)
+        dev_batch = batch if put_batch is not None else _to_device_batch(
+            batch)
         state, metrics = step_fn(state, dev_batch, rng)
         loss = float(metrics["loss_total"])
         if not np.isfinite(loss):

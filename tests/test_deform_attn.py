@@ -160,9 +160,11 @@ def test_temporal_fused_equals_per_frame_loop():
     logits = _rand(rng, B, T1, LQ, NH, L, P)
     adj = temporal_adjacency(T2, T1)
 
-    fused = np.asarray(temporal_deform_sample(
+    fused, overflow = temporal_deform_sample(
         jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(logits),
-        jnp.asarray(adj)))
+        jnp.asarray(adj))
+    fused = np.asarray(fused)
+    assert float(overflow) == 0.0
 
     # reference-style loop
     want = np.zeros((B, T1, LQ, NH * D), np.float32)
@@ -179,3 +181,75 @@ def test_temporal_fused_equals_per_frame_loop():
             want[:, t1] += np.asarray(got)
 
     np.testing.assert_allclose(fused, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pmerged_matches_core_fwd_and_grads():
+    """Round-2 point-merged one-hot == round-1 core, incl. out-of-bounds
+    taps, chunking, and gradients."""
+    from snipper_tpu.ops.deform_attn import ms_deform_attn_pmerged
+
+    rng = np.random.default_rng(7)
+    value = _rand(rng, B, S, NH, D)
+    locs = rng.uniform(-0.3, 1.3, (B, LQ, NH, L, P, 2)).astype(np.float32)
+    attn = rng.uniform(0, 1, (B, LQ, NH, L, P)).astype(np.float32)
+    want = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn)))
+    for qc in (None, 3):
+        got = np.asarray(ms_deform_attn_pmerged(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn),
+            query_chunk=qc))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def f(core):
+        def loss(v, lo, at):
+            return (core(v, SHAPES, lo, at, query_chunk=3) ** 2).sum()
+        return jax.grad(loss, argnums=(0, 1, 2))
+
+    from snipper_tpu.ops.deform_attn import ms_deform_attn_pmerged as pm
+    ga = f(ms_deform_attn_core)(jnp.asarray(value), jnp.asarray(locs),
+                                jnp.asarray(attn))
+    gb = f(pm)(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
+    for a_, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_exact_on_grid_queries_and_overflow_counted():
+    """Windowed sampling: zero overflow + exact outputs for grid-local
+    queries; dropped taps are counted when locations leave the window."""
+    from snipper_tpu.ops.deform_attn import (ms_deform_attn_pmerged,
+                                             ms_deform_attn_windowed)
+
+    shapes = [(60, 80), (30, 40), (15, 20)]
+    sizes = [h * w for h, w in shapes]
+    s_tot = sum(sizes)
+    rng = np.random.default_rng(8)
+    value = rng.standard_normal((1, s_tot, 2, 4)).astype(np.float32)
+    # encoder-style queries: the level-concatenated grid + small offsets
+    refs = []
+    for (h, w) in shapes:
+        gy, gx = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)                      # [S, 2]
+    loc = (ref[None, :, None, None, None, :]
+           + rng.uniform(-0.01, 0.01,
+                         (1, s_tot, 2, 3, 2, 2))).astype(np.float32)
+    attn = rng.uniform(0, 1, (1, s_tot, 2, 3, 2)).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_pmerged(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    got, ov = ms_deform_attn_windowed(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        query_segments=sizes)
+    assert float(ov) == 0.0
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # teleport one tap far away: overflow must be counted (the plan keeps a
+    # window only at level 0 here — 4800 px vs a ~2432 window)
+    loc2 = loc.copy()
+    loc2[0, 5, 0, 0, 0] = [0.99, 0.99]
+    _, ov2 = ms_deform_attn_windowed(
+        jnp.asarray(value), shapes, jnp.asarray(loc2), jnp.asarray(attn),
+        query_segments=sizes)
+    assert float(ov2) > 0

@@ -124,3 +124,23 @@ def test_checkpoint_retention(tmp_path):
     assert kept == ["checkpoint0002", "checkpoint0003", "checkpoint0004"]
     got = restore_checkpoint(paths[-1], state)
     np.testing.assert_array_equal(got["w"], state["w"])
+
+
+def test_num_workers_same_batches():
+    ds = _ArrayDataset(12)
+    a = DataLoader(ds, 3, shuffle=True, seed=4, process_index=0,
+                   process_count=1, num_workers=0)
+    b = DataLoader(ds, 3, shuffle=True, seed=4, process_index=0,
+                   process_count=1, num_workers=3)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(_batch_ids(x), _batch_ids(y))
+
+
+def test_device_prefetch_order_and_completeness():
+    from snipper_tpu.data.loader import device_prefetch
+
+    seen = []
+    out = list(device_prefetch(iter(range(7)),
+                               lambda x: (seen.append(x), x * 10)[1]))
+    assert out == [0, 10, 20, 30, 40, 50, 60]
+    assert seen == list(range(7))

@@ -361,7 +361,8 @@ def ms_deform_attn_pmerged(
     return out, overflow
 
 
-def windowed_sampling_plan(spatial_shapes: Sequence[Tuple[int, int]]):
+def windowed_sampling_plan(spatial_shapes: Sequence[Tuple[int, int]],
+                           base_chunk: int = 512, margin_px: int = 8):
     """Per-query-segment chunk sizes + per-tap-level windows for encoder
     sampling (queries = the level-concatenated pixel grid, row-major, so a
     chunk's taps cluster spatially at every level).
@@ -371,8 +372,16 @@ def windowed_sampling_plan(spatial_shapes: Sequence[Tuple[int, int]]):
     segment it came from; the window adds ``margin_px`` rows of slack for
     learned offsets (overflow is counted at runtime if exceeded). Windows
     that wouldn't cut at least 25% are disabled (0 = full, exact).
+
+    The sampling cost is select-bound at ~``16 taps * n_queries * window``
+    VPU ops, and ``window = base_chunk * S_t/S_0 + 2 * margin_px * w_t +
+    128``, so SMALLER chunks shrink the per-query select width down to the
+    margin floor (v5e sweep: 512/8 beats 1024/8 by ~1.25x; below 384 the
+    scan/dot overhead wins back). ``margin_px`` bounds the learned offset
+    magnitude the window tolerates — the default 8 px covers the reference
+    offset-bias init (radius <= 5.7 px, ``_offset_bias_init``) plus slack;
+    exceeding taps are DROPPED and counted in the returned overflow.
     """
-    base_chunk, margin_px = 1024, 8
     sizes = [h * w for h, w in spatial_shapes]
     s0 = sizes[0]
     qcs = [max(64, min(base_chunk, ((base_chunk * s) // s0) // 64 * 64))
@@ -391,6 +400,8 @@ def ms_deform_attn_windowed(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
     query_segments: Sequence[int],
+    base_chunk: int = 512,
+    margin_px: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Windowed P-merged sampling over per-level query segments.
 
@@ -403,7 +414,8 @@ def ms_deform_attn_windowed(
     """
     assert sum(query_segments) == sampling_locations.shape[1], (
         query_segments, sampling_locations.shape)
-    _, qcs, wins = windowed_sampling_plan(spatial_shapes)
+    _, qcs, wins = windowed_sampling_plan(spatial_shapes, base_chunk,
+                                          margin_px)
     outs = []
     overflow = jnp.zeros((), jnp.float32)
     q0 = 0
@@ -714,6 +726,12 @@ def temporal_deform_sample(
         from snipper_tpu.ops.pallas_deform import ms_deform_attn_pallas
 
         out = ms_deform_attn_pallas(v_flat, spatial_shapes, loc_flat, attn_flat)
+    elif impl == "skip":
+        # profiling aid only: elide the sampling (weighted mean over S) to
+        # measure the non-sampling share of a forward. NOT exact.
+        out = jnp.broadcast_to(v_flat.mean(1, keepdims=True),
+                               (B * T1, Lq, nH, D)).reshape(B * T1, Lq,
+                                                            nH * D)
     elif impl == "windowed" and query_segments is not None:
         out, overflow = ms_deform_attn_windowed(
             v_flat, spatial_shapes, loc_flat, attn_flat, query_segments)

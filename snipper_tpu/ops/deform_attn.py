@@ -386,11 +386,19 @@ def windowed_sampling_plan(spatial_shapes: Sequence[Tuple[int, int]],
     s0 = sizes[0]
     qcs = [max(64, min(base_chunk, ((base_chunk * s) // s0) // 64 * 64))
            for s in sizes]
+    # windows are per (query segment, tap level): a chunk of qcs[seg]
+    # seg-level queries spans ~qcs[seg] * S_t / S_seg tap-level pixels (the
+    # 64-query chunk floor makes small segments span MORE than
+    # base_chunk * S_t / S_0 — sized per segment so the floor cannot
+    # overflow), plus margin rows and the +1 corner/alignment slack.
     wins = []
-    for (h, w), st in zip(spatial_shapes, sizes):
-        span = (base_chunk * st) // s0
-        ws = int(-(-(span + 2 * margin_px * w + 128) // 128) * 128)
-        wins.append(0 if ws >= 0.75 * st else ws)
+    for seg, s_seg in enumerate(sizes):
+        seg_wins = []
+        for (h, w), st in zip(spatial_shapes, sizes):
+            span = -(-qcs[seg] * st // s_seg)
+            ws = int(-(-(span + 2 * margin_px * w + 128) // 128) * 128)
+            seg_wins.append(0 if ws >= 0.75 * st else ws)
+        wins.append(seg_wins)
     return sizes, qcs, wins
 
 
@@ -419,12 +427,12 @@ def ms_deform_attn_windowed(
     outs = []
     overflow = jnp.zeros((), jnp.float32)
     q0 = 0
-    for seg, qc in zip(query_segments, qcs):
+    for si, (seg, qc) in enumerate(zip(query_segments, qcs)):
         o, ov = ms_deform_attn_pmerged(
             value, spatial_shapes,
             jax.lax.slice_in_dim(sampling_locations, q0, q0 + seg, axis=1),
             jax.lax.slice_in_dim(attention_weights, q0, q0 + seg, axis=1),
-            query_chunk=qc, window=wins)
+            query_chunk=qc, window=wins[si])
         outs.append(o)
         overflow = overflow + ov
         q0 += seg

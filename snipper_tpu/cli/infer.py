@@ -29,11 +29,18 @@ def main():
     parser.add_argument("--pretrained_torch", type=str, default=None)
     parser.add_argument("--seq_gap", type=int, default=5)
     parser.add_argument("--save_visuals", action="store_true")
+    parser.add_argument("--device_preprocess", action="store_true",
+                        help="warp/normalize frames on the TPU (fused XLA "
+                             "preprocessing graph); host only decodes")
     parser.add_argument("--preset", type=str, default="canonical_t4")
     args = parser.parse_args()
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
     cfg = build_config(args)
+    # inference is forward-only: default to the windowed sampling fast path
+    # (exact while the runtime overflow counter stays zero; checked below)
+    if cfg.deform_impl in ("pmerged", "xla"):
+        cfg = cfg.replace(deform_impl="windowed")
     os.makedirs(args.output_dir, exist_ok=True)
 
     model, params = init_model(cfg, jax.random.PRNGKey(0))
@@ -45,13 +52,33 @@ def main():
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
 
     samples, frame_indices, all_files = load_snippet_samples(
-        args.data_dir, cfg.num_frames, args.seq_gap, cfg.input_shape)
+        args.data_dir, cfg.num_frames, args.seq_gap, cfg.input_shape,
+        warp_on_device=args.device_preprocess)
     print(f"{len(samples)} snippets over {len(all_files)} frames", flush=True)
+
+    def to_device(s):
+        if args.device_preprocess:
+            from snipper_tpu.data.device_preprocess import (
+                preprocess_snippet_device)
+
+            return preprocess_snippet_device(s["raw_imgs"], s["trans"],
+                                             cfg.input_shape)
+        return jnp.asarray(s["imgs"])
 
     results = []
     w, h = float(cfg.input_width), float(cfg.input_height)
-    for s in samples:
-        out = fwd(params, jnp.asarray(s["imgs"])[None])
+    for i, s in enumerate(samples):
+        out = fwd(params, to_device(s)[None])
+        if i == 0 and cfg.deform_impl == "windowed":
+            # exactness guard: learned offsets larger than the window margin
+            # drop taps — fall back to the exact path for the whole run
+            if float(np.asarray(out["sampling_overflow"])) > 0:
+                print("windowed sampling overflow: falling back to the "
+                      "exact pmerged path", flush=True)
+                cfg = cfg.replace(deform_impl="pmerged")
+                model, _ = init_model(cfg, jax.random.PRNGKey(0))
+                fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+                out = fwd(params, to_device(s)[None])
         logits = np.asarray(out["pred_logits"][0])     # [q, T, 2]
         kpts = np.asarray(out["pred_kpts2d"][0])       # [q, T, K, 3]
         depth = np.asarray(out["pred_depth"][0])       # [q, T, K, 1]
@@ -95,16 +122,17 @@ def main():
         # (reference visualize_heatmaps / the never-consumed attention
         # plumbing, inference_utils.py:622-644, ms_deform_attn.py:167-233)
         s0 = samples[0]
-        out0 = model.apply({"params": params}, jnp.asarray(s0["imgs"])[None],
+        imgs0 = np.asarray(to_device(s0))
+        out0 = model.apply({"params": params}, jnp.asarray(imgs0)[None],
                            return_attn=True)
         visualize_heatmaps([np.asarray(h) for h in out0["heatmaps"]],
-                           np.asarray(s0["imgs"]),
+                           imgs0,
                            os.path.join(args.output_dir, "heatmaps"))
         prob0 = np.asarray(
             jax.nn.softmax(out0["pred_logits"], -1))[0, :, :, 1].mean(-1)
         visualize_attention(
             [(np.asarray(l), np.asarray(a)) for l, a in out0["attn_data"]],
-            np.asarray(s0["imgs"]),
+            imgs0,
             os.path.join(args.output_dir, "attention"),
             query_scores=prob0)
     print(f"results written to {args.output_dir}", flush=True)

@@ -52,6 +52,10 @@ class Config:
     # "xla"     : round-1 corner-expanded core (reference-parity fallback)
     # "pallas"  : fused Pallas TPU kernel (slower; kept for reference)
     deform_impl: str = "pmerged"
+    # "auto": sampling follows the activation dtype; "float32": force the
+    # sampling op to f32 (mixed-precision training otherwise hits a bf16
+    # (16,128)-tiling x remat cliff, BASELINE.md)
+    deform_dtype: str = "auto"
 
     # --- matcher costs (reference main.py:110-121) -------------------------
     set_cost_is_human: float = 1.0

@@ -62,7 +62,8 @@ def _read_rgb(path: str) -> np.ndarray:
 
 
 def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
-                         input_shape: Tuple[int, int]):
+                         input_shape: Tuple[int, int],
+                         warp_on_device: bool = False):
     """Sample overlapping snippets from a frame directory.
 
     Snippet start stride is ``gap * (T - 1)`` (``gap`` when T == 1), so the
@@ -71,6 +72,11 @@ def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
     Returns (samples, frame_indices, all_files); each sample dict has
     ``imgs [T, H, W, 3]`` float32 in [0, 1], ``inv_trans``, ``filenames``,
     ``input_size`` (w, h), ``img_size`` (w, h).
+
+    ``warp_on_device``: skip the host warp — samples carry raw uint8
+    ``raw_imgs [T, H, W, 3]`` plus the forward affine ``trans`` for
+    :func:`snipper_tpu.data.device_preprocess.preprocess_snippet_device`
+    (the fused XLA preprocessing graph); the host then only decodes.
     """
     skip = gap if num_frames == 1 else gap * (num_frames - 1)
     all_files = sorted(os.listdir(data_dir))
@@ -90,15 +96,20 @@ def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
         trans = gen_trans_from_patch(cx, cy, w * scale, h * scale, w, h, 0.0)
         inv_trans = gen_trans_from_patch(cx, cy, w * scale, h * scale, w, h,
                                          0.0, inv=True)
-        patches = np.stack([generate_patch_image(im, False, trans, (h, w))
-                            for im in imgs])
-        samples.append({
-            "imgs": patches.astype(np.float32),
+        sample = {
             "filenames": filenames,
             "inv_trans": inv_trans.astype(np.float32),
             "input_size": np.array([w, h], np.float32),
             "img_size": np.array([img_w, img_h], np.float32),
-        })
+        }
+        if warp_on_device:
+            sample["raw_imgs"] = imgs.astype(np.uint8)
+            sample["trans"] = trans.astype(np.float32)
+        else:
+            sample["imgs"] = np.stack(
+                [generate_patch_image(im, False, trans, (h, w))
+                 for im in imgs]).astype(np.float32)
+        samples.append(sample)
     return samples, frame_indices, all_files
 
 

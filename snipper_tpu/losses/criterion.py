@@ -225,6 +225,11 @@ class SetCriterion:
             cost = cost_matrix(logits, kpts2d, depth, targets["kpts2d"],
                                targets["depth"], self.max_depth,
                                self.match_weights)
+            # zero padding-slot columns (same fix as matcher.match): the
+            # vis/MSE terms vary across queries even for all-zero padded
+            # targets, so unmasked padding slots would steal queries from
+            # real targets and perturb the assignment
+            cost = cost * targets["valid"][:, None, :].astype(cost.dtype)
             src_idx = solve(jax.lax.stop_gradient(cost))
             ld = self._loss_set(logits, kpts2d, depth, targets, src_idx,
                                 num_traj)

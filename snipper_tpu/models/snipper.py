@@ -105,7 +105,8 @@ class Snipper(nn.Module):
             enc_n_points=cfg.enc_n_points, dec_n_points=cfg.dec_n_points,
             n_frames=cfg.num_frames, n_future_frames=cfg.num_future_frames,
             num_keypoints=cfg.num_kpts, dropout=cfg.dropout,
-            impl=cfg.deform_impl, name="transformer",
+            impl=cfg.deform_impl, sample_dtype=cfg.deform_dtype,
+            name="transformer",
         )(srcs, masks if mask is not None else None, pos_embeds, query_embed,
           train=train)
 

@@ -57,6 +57,11 @@ class TemporalDeformAttn(nn.Module):
     n_points: int
     n_frames: int          # observed frames T2
     impl: str = "xla"
+    sample_dtype: str = "auto"   # "float32": run the sampling op in f32
+                                 # regardless of activation dtype (bf16
+                                 # (16,128) tiling around the remat'd chunk
+                                 # scan is the measured mixed-precision
+                                 # train cliff; see BASELINE.md)
 
     @nn.compact
     def __call__(
@@ -98,9 +103,14 @@ class TemporalDeformAttn(nn.Module):
         logits = logits.reshape(B, T1, Lq, H, L, P)
 
         adjacency = temporal_adjacency(self.n_frames, T1)  # static numpy
+        if self.sample_dtype == "float32":
+            value = value.astype(jnp.float32)
+            loc = loc.astype(jnp.float32)
+            logits = logits.astype(jnp.float32)
         out, overflow = temporal_deform_sample(
             value, spatial_shapes, loc, logits, adjacency, impl=self.impl,
             query_segments=query_segments)
+        out = out.astype(query.dtype)
         out = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                        name="output_proj")(out)
         if return_attn:
@@ -158,6 +168,7 @@ class EncoderLayer(nn.Module):
     n_frames: int
     dropout: float = 0.1
     impl: str = "xla"
+    sample_dtype: str = "auto"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
@@ -168,7 +179,8 @@ class EncoderLayer(nn.Module):
         segments = tuple(h * w for h, w in spatial_shapes)
         src2, overflow = TemporalDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            self.n_frames, impl=self.impl, name="self_attn")(
+            self.n_frames, impl=self.impl, sample_dtype=self.sample_dtype,
+            name="self_attn")(
                 src + pos, reference_points, src, spatial_shapes,
                 padding_mask, query_segments=segments)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
@@ -191,6 +203,7 @@ class DecoderLayer(nn.Module):
     n_frames: int
     dropout: float = 0.1
     impl: str = "xla"
+    sample_dtype: str = "auto"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -211,7 +224,8 @@ class DecoderLayer(nn.Module):
         # unordered slots — always exact (no windowing)
         tgt2, _, attn_data = TemporalDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            self.n_frames, impl=self.impl, name="cross_attn")(
+            self.n_frames, impl=self.impl, sample_dtype=self.sample_dtype,
+            name="cross_attn")(
                 tgt + query_pos, reference_points, src, spatial_shapes,
                 src_padding_mask, return_attn=True)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
@@ -259,6 +273,7 @@ class DeformableTransformer(nn.Module):
     num_keypoints: int
     dropout: float = 0.1
     impl: str = "xla"
+    sample_dtype: str = "auto"
     # rematerialize encoder/decoder layers in the backward pass: the
     # deformable-sampling intermediates (gathered corners, one-hot
     # matrices) otherwise get saved per chunk per layer and blow HBM at
@@ -318,7 +333,8 @@ class DeformableTransformer(nn.Module):
             memory, ov = enc_cls(
                 self.d_model, self.dim_feedforward, L, self.n_heads,
                 self.enc_n_points, self.n_frames, self.dropout,
-                impl=self.impl, name=f"encoder_layer{i}")(
+                impl=self.impl, sample_dtype=self.sample_dtype,
+                name=f"encoder_layer{i}")(
                     memory, pos_flat, enc_ref, spatial_shapes, mask_flat,
                     train)
             sampling_overflow = sampling_overflow + ov
@@ -366,7 +382,8 @@ class DeformableTransformer(nn.Module):
             output, attn_data = dec_cls(
                 self.d_model, self.dim_feedforward, L, self.n_heads,
                 self.dec_n_points, self.n_frames, self.dropout,
-                impl=self.impl, name=f"decoder_layer{i}")(
+                impl=self.impl, sample_dtype=self.sample_dtype,
+                name=f"decoder_layer{i}")(
                     output, query_pos, ref_input, memory, spatial_shapes,
                     mask_flat, train)
             root4 = root_linear(output)                # [B, T1, q, 4]

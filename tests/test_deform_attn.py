@@ -253,3 +253,67 @@ def test_windowed_exact_on_grid_queries_and_overflow_counted():
         jnp.asarray(value), shapes, jnp.asarray(loc2), jnp.asarray(attn),
         query_segments=sizes)
     assert float(ov2) > 0
+
+
+def test_windowed_plan_covers_worst_case_chunk_spans():
+    """Plan invariant (regression for the chunk-floor bug): for EVERY query
+    segment, each tap-level window must cover that segment's worst-case
+    chunk span plus the margin rows — including small segments whose
+    64-query chunk floor spans more tap-level pixels than base_chunk does
+    at level 0."""
+    from snipper_tpu.ops.deform_attn import windowed_sampling_plan
+
+    for shapes in ([(75, 100), (38, 50), (19, 25)],
+                   [(68, 120), (34, 60), (17, 30)],
+                   [(60, 80), (30, 40), (15, 20)]):
+        for bc in (1024, 512, 384, 256):
+            for margin in (8, 6):
+                sizes, qcs, wins = windowed_sampling_plan(shapes, bc, margin)
+                assert len(wins) == len(sizes)
+                for seg, (qc, seg_wins) in enumerate(zip(qcs, wins)):
+                    for (h, w), st, ws in zip(shapes, sizes, seg_wins):
+                        if ws == 0:
+                            continue  # full width: always exact
+                        # worst-case flat span of a qc-query chunk of this
+                        # segment at tap level t: chunk span scaled by the
+                        # area ratio, + margin rows each side, + 1 row for
+                        # the +1 bilinear corner, + 8 for the aligned start
+                        span = -(-qc * st // sizes[seg])
+                        need = span + (2 * margin + 1) * w + 8
+                        assert ws >= min(need, st), (
+                            shapes, bc, margin, seg, (h, w), ws, need)
+
+
+def test_windowed_small_segment_chunk_floor_exact():
+    """End-to-end regression: margin-sized offsets on SMALL-segment queries
+    (where the 64-query chunk floor bites) must not overflow or deviate."""
+    from snipper_tpu.ops.deform_attn import (ms_deform_attn_pmerged,
+                                             ms_deform_attn_windowed)
+
+    shapes = [(60, 80), (30, 40), (15, 20)]
+    sizes = [h * w for h, w in shapes]
+    s_tot = sum(sizes)
+    rng = np.random.default_rng(3)
+    value = rng.standard_normal((1, s_tot, 2, 4)).astype(np.float32)
+    refs = []
+    for (h, w) in shapes:
+        gy, gx = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)
+    # offsets up to ~6.9 px at each TAP level (margin 8 must absorb them)
+    off_px = rng.uniform(-6.9, 6.9, (1, s_tot, 2, 3, 2, 2))
+    norm = np.array([(w, h) for h, w in shapes], np.float64)
+    loc = (ref[None, :, None, None, None, :]
+           + off_px / norm[None, None, None, :, None, :]).astype(np.float32)
+    attn = rng.uniform(0, 1, (1, s_tot, 2, 3, 2)).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_pmerged(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    for bc in (512, 256):
+        got, ov = ms_deform_attn_windowed(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+            query_segments=sizes, base_chunk=bc)
+        assert float(ov) == 0.0, bc
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5)

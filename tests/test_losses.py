@@ -198,3 +198,36 @@ def test_scatter_keypoint_maps():
         jnp.asarray(kpts), jnp.asarray(valid), 2, 4, 8))
     assert maps[0, 0, 1, 3, 0] == 1.0
     assert maps.sum() == 1.0  # invalid person and invisible joints excluded
+
+
+def test_criterion_matching_ignores_padding_slots(problem):
+    """The criterion's internal matching must apply the same valid-mask fix
+    as matcher.match: with PARTIAL visibility the padded slots' vis-MSE
+    terms vary across queries, and an unmasked cost lets them steal queries
+    from real targets (ADVICE round-1 high finding; the fix must cover this
+    direct cost_matrix+hungarian path, not just matcher.match)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from snipper_tpu.losses.criterion import matcher_weight_dict
+    from snipper_tpu.matching.matcher import cost_matrix
+
+    outputs, targets, m_per = problem
+    cfg = Config(num_queries=N_Q, num_kpts=K, max_persons=M_PAD,
+                 num_frames=T, num_future_frames=0)
+    crit = SetCriterion(cfg)
+    out_j = {k: jnp.asarray(v) for k, v in outputs.items()}
+    tgt_j = {k: jnp.asarray(v) for k, v in targets.items()}
+    _, _, src_idx = crit(out_j, tgt_j)
+    src_idx = np.asarray(src_idx)
+
+    w = matcher_weight_dict(cfg)
+    for b, m in enumerate(m_per):
+        cost = np.asarray(cost_matrix(
+            out_j["pred_logits"][b:b + 1], out_j["pred_kpts2d"][b:b + 1],
+            out_j["pred_depth"][b:b + 1], tgt_j["kpts2d"][b:b + 1, :m],
+            tgt_j["depth"][b:b + 1, :m], cfg.max_depth, w))[0]
+        rows, cols = linear_sum_assignment(cost)
+        want_total = cost[rows, cols].sum()
+        got_total = cost[src_idx[b, :m], np.arange(m)].sum()
+        np.testing.assert_allclose(got_total, want_total, rtol=1e-5,
+                                   atol=1e-6)

@@ -7,7 +7,11 @@ windowed deformable-sampling path with a runtime exactness check (the
 model's ``sampling_overflow`` counter must be zero, else the exact
 point-merged path is used instead). Also times the canonical T=4+2 f32
 train step (batch 2, fwd + device Hungarian + 6 losses + bwd + AdamW) and
-reports it as an extra key.
+reports it as an extra key. Train reports the RECOMMENDED mixed-precision
+mode (bf16 activations, f32 master weights/losses; measured 1.8x faster
+than f32 with matching loss trajectories — BASELINE.md "Train-step impl
+findings"). Round-1's 237/266 ms train claims were mis-measured and are
+retracted there.
 
 Methodology notes (axon TPU tunnel):
 - enqueue K iterations then read one small output once: per-call readback
@@ -82,11 +86,11 @@ def main():
         from snipper_tpu.train.state import create_train_state
         from snipper_tpu.train.step import make_train_step
 
-        tcfg = C.canonical_t4_f2()
+        tcfg = C.canonical_t4_f2().replace(deform_impl="xla")
         tmodel, tparams = init_model(tcfg, jax.random.PRNGKey(1))
         crit = SetCriterion(tcfg)
         state, tx = create_train_state(tcfg, tparams, steps_per_epoch=100)
-        step = make_train_step(tmodel, crit, tx)
+        step = make_train_step(tmodel, crit, tx, mixed_precision=True)
         loader = DataLoader(SyntheticDataset(tcfg, n_samples=2), 2,
                             shuffle=False, process_index=0, process_count=1)
         raw = next(iter(loader))
@@ -112,7 +116,7 @@ def main():
         "dtype": "bfloat16",
         "sampling_impl": impl,
         "sampling_overflow": overflow,
-        "train_step_ms_T4F2_f32_b2": (round(train_ms, 1)
+        "train_step_ms_T4F2_bf16mp_b2": (round(train_ms, 1)
                                       if isinstance(train_ms, float)
                                       else train_ms),
         "note": "baseline is an estimated A100 PyTorch eager throughput "

@@ -51,7 +51,12 @@ class Config:
     #             falling back to "pmerged" otherwise). Decoder stays exact.
     # "xla"     : round-1 corner-expanded core (reference-parity fallback)
     # "pallas"  : fused Pallas TPU kernel (slower; kept for reference)
-    deform_impl: str = "pmerged"
+    # sampling implementation: "xla" is the production default — exact and
+    # the only formulation whose BACKWARD is fast (pmerged/windowed are
+    # inference-only wins; their backward is 7-9x slower, BASELINE.md
+    # "Train-step impl findings"). Forward-only entry points (bench,
+    # cli.infer, cli.eval) override to "windowed"/"pmerged".
+    deform_impl: str = "xla"
     # "auto": sampling follows the activation dtype; "float32": force the
     # sampling op to f32 (mixed-precision training otherwise hits a bf16
     # (16,128)-tiling x remat cliff, BASELINE.md)

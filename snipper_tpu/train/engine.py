@@ -56,6 +56,12 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             print(f"Loss is {loss}, stopping training", flush=True)
             print({k: float(v) for k, v in metrics.items()}, flush=True)
             sys.exit(1)
+        if float(metrics.get("sampling_overflow", 0.0)) > 0:
+            # windowed sampling dropped taps: gradients are not exact —
+            # abort rather than train on silently-corrupted gradients
+            print("sampling_overflow > 0: windowed sampling dropped taps; "
+                  "retrain with deform_impl='xla' (exact)", flush=True)
+            sys.exit(1)
         logger.update(**{k: float(v) for k, v in metrics.items()})
         if lr_fn is not None:
             logger.update(lr=float(lr_fn(int(state.step))))

@@ -49,8 +49,6 @@ def make_train_step(
     def step(state: TrainState, batch: Dict, rng) -> tuple:
         def loss_fn(params):
             if mixed_precision:
-                import jax.numpy as jnp
-
                 p = jax.tree_util.tree_map(
                     lambda a: a.astype(jnp.bfloat16)
                     if a.dtype == jnp.float32 else a, params)
@@ -61,6 +59,10 @@ def make_train_step(
                               batch.get("mask"), train=True,
                               rngs={"dropout": rng})
             total, losses, _ = criterion(out, batch["targets"])
+            # windowed sampling drops out-of-window taps; surface the count
+            # so training with impl="windowed" can assert exactness per step
+            losses["sampling_overflow"] = jax.lax.stop_gradient(
+                out.get("sampling_overflow", jnp.zeros((), jnp.float32)))
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(

@@ -34,6 +34,10 @@ def main():
     add_config_args(parser)
     add_data_args(parser)
     parser.add_argument("--eval_every", type=int, default=1)
+    parser.add_argument("--mixed_precision", action="store_true",
+                        help="bf16 activations with f32 master weights/"
+                             "losses — ~1.8x faster per step on v5e "
+                             "(BASELINE.md train-impl findings)")
     args = parser.parse_args()
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
@@ -67,7 +71,8 @@ def main():
         print(f"resumed from {args.resume} at epoch {start_epoch}", flush=True)
 
     mesh = make_mesh(dp_size=-1, tp_size=cfg.tp_size)
-    step = make_train_step(model, crit, tx, mesh)
+    step = make_train_step(model, crit, tx, mesh,
+                           mixed_precision=args.mixed_precision)
     eval_step = make_eval_step(model, crit)
     state = replicate(state, mesh)
     lr_fn = step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)

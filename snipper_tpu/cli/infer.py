@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--pretrained_torch", type=str, default=None)
     parser.add_argument("--seq_gap", type=int, default=5)
     parser.add_argument("--save_visuals", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard snippets one-per-chip over the device "
+                             "mesh (snippets are independent; per-chip "
+                             "batch 1 is optimal)")
     parser.add_argument("--device_preprocess", action="store_true",
                         help="warp/normalize frames on the TPU (fused XLA "
                              "preprocessing graph); host only decodes")
@@ -65,23 +69,11 @@ def main():
                                              cfg.input_shape)
         return jnp.asarray(s["imgs"])
 
-    results = []
     w, h = float(cfg.input_width), float(cfg.input_height)
-    for i, s in enumerate(samples):
-        out = fwd(params, to_device(s)[None])
-        if i == 0 and cfg.deform_impl == "windowed":
-            # exactness guard: learned offsets larger than the window margin
-            # drop taps — fall back to the exact path for the whole run
-            if float(np.asarray(out["sampling_overflow"])) > 0:
-                print("windowed sampling overflow: falling back to the "
-                      "exact pmerged path", flush=True)
-                cfg = cfg.replace(deform_impl="pmerged")
-                model, _ = init_model(cfg, jax.random.PRNGKey(0))
-                fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-                out = fwd(params, to_device(s)[None])
-        logits = np.asarray(out["pred_logits"][0])     # [q, T, 2]
-        kpts = np.asarray(out["pred_kpts2d"][0])       # [q, T, K, 3]
-        depth = np.asarray(out["pred_depth"][0])       # [q, T, K, 1]
+
+    def decode_one(logits, kpts, depth, s):
+        """Decode one snippet's outputs to PostProcess schema (reference
+        inference.py:141-189 decode block)."""
         e = np.exp(logits - logits.max(-1, keepdims=True))
         prob = (e / e.sum(-1, keepdims=True))[..., 1]
         d = depth.copy()
@@ -90,7 +82,7 @@ def main():
         k2 = kpts[..., 0:2].copy()
         k2[:, :, 1:] = k2[:, :, :1] + k2[:, :, 1:]
         k2 *= np.array([w, h])
-        results.append({
+        return {
             "human_score": prob,
             "pred_kpt_scores": kpts[..., 2:3],
             "pred_kpts": k2,
@@ -98,7 +90,55 @@ def main():
             "inv_trans": s["inv_trans"],
             "img_size": s["img_size"],
             "filenames": s["filenames"],
-        })
+        }
+
+    results = []
+    if args.data_parallel and jax.device_count() > 1:
+        # snippets are independent: shard one snippet per chip (per-chip
+        # batch 1 is optimal on v5e — batch scaling is negative)
+        from snipper_tpu.infer.pipeline import make_data_parallel_forward
+        from snipper_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp_size=-1, tp_size=1)
+        run, dp = make_data_parallel_forward(model, params, mesh)
+        print(f"data-parallel inference over {dp} devices", flush=True)
+        for g0 in range(0, len(samples), dp):
+            group = samples[g0:g0 + dp]
+            imgs = np.stack([np.asarray(to_device(s)) for s in group])
+            n = imgs.shape[0]
+            if n < dp:  # pad the tail group; padded outputs are dropped
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], dp - n, 0)], 0)
+            out = run(imgs)
+            if g0 == 0 and cfg.deform_impl == "windowed" and \
+                    float(np.asarray(out["sampling_overflow"])) > 0:
+                print("windowed sampling overflow: falling back to the "
+                      "exact pmerged path", flush=True)
+                cfg = cfg.replace(deform_impl="pmerged")
+                model, _ = init_model(cfg, jax.random.PRNGKey(0))
+                run, dp = make_data_parallel_forward(model, params, mesh)
+                out = run(imgs)
+            logits = np.asarray(out["pred_logits"])
+            kpts = np.asarray(out["pred_kpts2d"])
+            depth = np.asarray(out["pred_depth"])
+            for b, s in enumerate(group):
+                results.append(decode_one(logits[b], kpts[b], depth[b], s))
+    else:
+        for i, s in enumerate(samples):
+            out = fwd(params, to_device(s)[None])
+            if i == 0 and cfg.deform_impl == "windowed":
+                # exactness guard: learned offsets larger than the window
+                # margin drop taps — fall back to the exact path
+                if float(np.asarray(out["sampling_overflow"])) > 0:
+                    print("windowed sampling overflow: falling back to the "
+                          "exact pmerged path", flush=True)
+                    cfg = cfg.replace(deform_impl="pmerged")
+                    model, _ = init_model(cfg, jax.random.PRNGKey(0))
+                    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+                    out = fwd(params, to_device(s)[None])
+            results.append(decode_one(np.asarray(out["pred_logits"][0]),
+                                      np.asarray(out["pred_kpts2d"][0]),
+                                      np.asarray(out["pred_depth"][0]), s))
 
     frames, max_pid = associate_snippets(
         results, frame_indices, all_files, cfg.num_frames, args.seq_gap,

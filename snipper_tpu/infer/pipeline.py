@@ -214,3 +214,33 @@ def associate_snippets(results: List[Dict], frame_indices: List[int],
                     + cs * data[cur_i][:, :, 0:3]) / (ps + cs)
             all_frames[frame_idx] = (seq_pids[ex], data)
     return all_frames, max_pid
+
+
+def make_data_parallel_forward(model, params, mesh):
+    """Data-parallel inference over a device mesh.
+
+    Snippets are independent (the reference loops them serially at batch 1,
+    ``inference.py:141-189``) and per-chip batch-1 is optimal on v5e
+    (batch scaling is negative, BASELINE.md), so multi-chip serving shards
+    a batch of ``mesh['data']-size`` snippets one-per-chip: params
+    replicated, batch sharded over ``data``, XLA runs each shard
+    independently (no collectives in the forward).
+
+    Returns ``(run, dp_size)`` where ``run(imgs [B, T, H, W, 3]) -> out``
+    requires ``B % dp_size == 0``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["data"]
+    repl = jax.device_put(params, NamedSharding(mesh, P()))
+    data = NamedSharding(mesh, P("data"))
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    def run(imgs: np.ndarray):
+        assert imgs.shape[0] % dp == 0, (imgs.shape, dp)
+        x = jax.device_put(jnp.asarray(imgs), data)
+        return fwd(repl, x)
+
+    return run, dp

@@ -1,0 +1,46 @@
+"""End-to-end CLI smoke tests (tiny preset, synthetic data, CPU mesh).
+
+The reference's integration entry points are its CLIs (main.py / eval.py /
+inference.py); these exercise ours the same way: a real train epoch with
+checkpointing + log.txt, then final evaluation restoring that checkpoint.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+def _run_main(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", argv)
+    module.main()
+
+
+@pytest.mark.slow
+def test_train_then_eval_cli(tmp_path, monkeypatch):
+    out = str(tmp_path / "run")
+    from snipper_tpu.cli import train as train_cli
+
+    _run_main(train_cli, [
+        "train", "--preset", "tiny", "--synthetic", "--epochs", "1",
+        "--steps_per_epoch", "2", "--mixed_precision",
+        "--output_dir", out], monkeypatch)
+
+    # per-epoch artifacts: checkpoint + JSON-lines log (reference
+    # main.py:260-339)
+    log = os.path.join(out, "log.txt")
+    assert os.path.exists(log)
+    rec = json.loads(open(log).readline())
+    assert "train_loss_total" in rec and rec["epoch"] == 0
+    ckpts = os.listdir(os.path.join(out, "ckpts"))
+    assert any(c.startswith("checkpoint") for c in ckpts)
+
+    from snipper_tpu.cli import eval as eval_cli
+
+    ck = os.path.join(out, "ckpts", sorted(ckpts)[0])
+    eout = str(tmp_path / "eval")
+    _run_main(eval_cli, [
+        "eval", "--preset", "tiny", "--synthetic", "--resume", ck,
+        "--output_dir", eout], monkeypatch)
+    assert os.path.exists(eout)

@@ -13,7 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from snipper_tpu.cli.common import add_config_args, build_config
-from snipper_tpu.infer.pipeline import associate_snippets, load_snippet_samples
+from snipper_tpu.infer.pipeline import (associate_snippets,
+                                        iter_snippet_samples,
+                                        prefetched, snippet_index)
 from snipper_tpu.models.snipper import init_model
 from snipper_tpu.train.checkpoint import (load_torch_checkpoint,
                                           restore_checkpoint)
@@ -55,10 +57,16 @@ def main():
 
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
 
-    samples, frame_indices, all_files = load_snippet_samples(
+    frame_indices, all_files = snippet_index(args.data_dir, cfg.num_frames,
+                                             args.seq_gap)
+    # lazy decode + background prefetch: JPEG decoding overlaps the device
+    # forward, and long videos stream with O(1) host memory
+    sample_iter = prefetched(iter_snippet_samples(
         args.data_dir, cfg.num_frames, args.seq_gap, cfg.input_shape,
-        warp_on_device=args.device_preprocess)
-    print(f"{len(samples)} snippets over {len(all_files)} frames", flush=True)
+        warp_on_device=args.device_preprocess), depth=2)
+    print(f"{len(frame_indices)} snippets over {len(all_files)} frames",
+          flush=True)
+    first_sample = None
 
     def to_device(s):
         if args.device_preprocess:
@@ -102,15 +110,26 @@ def main():
         mesh = make_mesh(dp_size=-1, tp_size=1)
         run, dp = make_data_parallel_forward(model, params, mesh)
         print(f"data-parallel inference over {dp} devices", flush=True)
-        for g0 in range(0, len(samples), dp):
-            group = samples[g0:g0 + dp]
+        done = False
+        while not done:
+            group = []
+            for s in sample_iter:
+                if first_sample is None:
+                    first_sample = s
+                group.append(s)
+                if len(group) == dp:
+                    break
+            else:
+                done = True
+            if not group:
+                break
             imgs = np.stack([np.asarray(to_device(s)) for s in group])
             n = imgs.shape[0]
             if n < dp:  # pad the tail group; padded outputs are dropped
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], dp - n, 0)], 0)
             out = run(imgs)
-            if g0 == 0 and cfg.deform_impl == "windowed" and \
+            if not results and cfg.deform_impl == "windowed" and \
                     float(np.asarray(out["sampling_overflow"])) > 0:
                 print("windowed sampling overflow: falling back to the "
                       "exact pmerged path", flush=True)
@@ -124,7 +143,9 @@ def main():
             for b, s in enumerate(group):
                 results.append(decode_one(logits[b], kpts[b], depth[b], s))
     else:
-        for i, s in enumerate(samples):
+        for i, s in enumerate(sample_iter):
+            if first_sample is None:
+                first_sample = s
             out = fwd(params, to_device(s)[None])
             if i == 0 and cfg.deform_impl == "windowed":
                 # exactness guard: learned offsets larger than the window
@@ -161,7 +182,7 @@ def main():
         # heatmap + attention-sampling overlays from the first snippet
         # (reference visualize_heatmaps / the never-consumed attention
         # plumbing, inference_utils.py:622-644, ms_deform_attn.py:167-233)
-        s0 = samples[0]
+        s0 = first_sample
         imgs0 = np.asarray(to_device(s0))
         out0 = model.apply({"params": params}, jnp.asarray(imgs0)[None],
                            return_attn=True)

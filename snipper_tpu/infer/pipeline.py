@@ -61,30 +61,25 @@ def _read_rgb(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
-def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
-                         input_shape: Tuple[int, int],
-                         warp_on_device: bool = False):
-    """Sample overlapping snippets from a frame directory.
-
-    Snippet start stride is ``gap * (T - 1)`` (``gap`` when T == 1), so the
-    last frame of snippet k is the first frame of snippet k+1.
-
-    Returns (samples, frame_indices, all_files); each sample dict has
-    ``imgs [T, H, W, 3]`` float32 in [0, 1], ``inv_trans``, ``filenames``,
-    ``input_size`` (w, h), ``img_size`` (w, h).
-
-    ``warp_on_device``: skip the host warp — samples carry raw uint8
-    ``raw_imgs [T, H, W, 3]`` plus the forward affine ``trans`` for
-    :func:`snipper_tpu.data.device_preprocess.preprocess_snippet_device`
-    (the fused XLA preprocessing graph); the host then only decodes.
-    """
+def snippet_index(data_dir: str, num_frames: int, gap: int):
+    """(frame_indices, all_files): snippet start stride is ``gap * (T - 1)``
+    (``gap`` when T == 1), so the last frame of snippet k is the first frame
+    of snippet k+1 (reference ``get_all_samples``, inference_utils.py:143)."""
     skip = gap if num_frames == 1 else gap * (num_frames - 1)
     all_files = sorted(os.listdir(data_dir))
-    h, w = input_shape
+    return list(range(0, len(all_files) - skip, skip)), all_files
 
-    samples, frame_indices = [], []
-    for idx in range(0, len(all_files) - skip, skip):
-        frame_indices.append(idx)
+
+def iter_snippet_samples(data_dir: str, num_frames: int, gap: int,
+                         input_shape: Tuple[int, int],
+                         warp_on_device: bool = False):
+    """Lazily decode snippet samples (generator; see
+    :func:`load_snippet_samples` for the sample schema). Long videos stream
+    with O(1) host memory; combine with :func:`prefetched` so JPEG decoding
+    overlaps device compute."""
+    frame_indices, all_files = snippet_index(data_dir, num_frames, gap)
+    h, w = input_shape
+    for idx in frame_indices:
         filenames = [all_files[idx + gap * t] for t in range(num_frames)]
         imgs = np.stack([_read_rgb(os.path.join(data_dir, f))
                          for f in filenames])
@@ -109,7 +104,51 @@ def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
             sample["imgs"] = np.stack(
                 [generate_patch_image(im, False, trans, (h, w))
                  for im in imgs]).astype(np.float32)
-        samples.append(sample)
+        yield sample
+
+
+def prefetched(it, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue so host
+    decoding overlaps device compute (single-prefetch-thread pattern shared
+    with data.loader)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        x = q.get()
+        if x is sentinel:
+            return
+        yield x
+
+
+def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
+                         input_shape: Tuple[int, int],
+                         warp_on_device: bool = False):
+    """Eagerly-materialized snippet samples.
+
+    Returns (samples, frame_indices, all_files); each sample dict has
+    ``imgs [T, H, W, 3]`` float32 in [0, 1], ``inv_trans``, ``filenames``,
+    ``input_size`` (w, h), ``img_size`` (w, h).
+
+    ``warp_on_device``: skip the host warp — samples carry raw uint8
+    ``raw_imgs [T, H, W, 3]`` plus the forward affine ``trans`` for
+    :func:`snipper_tpu.data.device_preprocess.preprocess_snippet_device`
+    (the fused XLA preprocessing graph); the host then only decodes.
+    """
+    frame_indices, all_files = snippet_index(data_dir, num_frames, gap)
+    samples = list(iter_snippet_samples(data_dir, num_frames, gap,
+                                        input_shape, warp_on_device))
     return samples, frame_indices, all_files
 
 

@@ -131,12 +131,24 @@ def main():
             out = run(imgs)
             if not results and cfg.deform_impl == "windowed" and \
                     float(np.asarray(out["sampling_overflow"])) > 0:
-                print("windowed sampling overflow: falling back to the "
-                      "exact pmerged path", flush=True)
-                cfg = cfg.replace(deform_impl="pmerged")
+                if cfg.sampling_margin < 8:
+                    print("windowed overflow: widening margin to 8",
+                          flush=True)
+                    cfg = cfg.replace(sampling_margin=8)
+                else:
+                    print("windowed sampling overflow: falling back to the "
+                          "exact pmerged path", flush=True)
+                    cfg = cfg.replace(deform_impl="pmerged")
                 model, _ = init_model(cfg, jax.random.PRNGKey(0))
                 run, dp = make_data_parallel_forward(model, params, mesh)
                 out = run(imgs)
+                if cfg.deform_impl == "windowed" and \
+                        float(np.asarray(out["sampling_overflow"])) > 0:
+                    print("still overflowing: exact pmerged path", flush=True)
+                    cfg = cfg.replace(deform_impl="pmerged")
+                    model, _ = init_model(cfg, jax.random.PRNGKey(0))
+                    run, dp = make_data_parallel_forward(model, params, mesh)
+                    out = run(imgs)
             logits = np.asarray(out["pred_logits"])
             kpts = np.asarray(out["pred_kpts2d"])
             depth = np.asarray(out["pred_depth"])
@@ -148,8 +160,16 @@ def main():
                 first_sample = s
             out = fwd(params, to_device(s)[None])
             if i == 0 and cfg.deform_impl == "windowed":
-                # exactness guard: learned offsets larger than the window
-                # margin drop taps — fall back to the exact path
+                # exactness guard: learned offsets beyond the window margin
+                # drop taps — widen the margin, then fall back to exact
+                if float(np.asarray(out["sampling_overflow"])) > 0 and \
+                        cfg.sampling_margin < 8:
+                    print("windowed overflow at margin "
+                          f"{cfg.sampling_margin}: widening to 8", flush=True)
+                    cfg = cfg.replace(sampling_margin=8)
+                    model, _ = init_model(cfg, jax.random.PRNGKey(0))
+                    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+                    out = fwd(params, to_device(s)[None])
                 if float(np.asarray(out["sampling_overflow"])) > 0:
                     print("windowed sampling overflow: falling back to the "
                           "exact pmerged path", flush=True)

@@ -61,6 +61,11 @@ class Config:
     # sampling op to f32 (mixed-precision training otherwise hits a bf16
     # (16,128)-tiling x remat cliff, BASELINE.md)
     deform_dtype: str = "auto"
+    # windowed-sampling margin rows: must cover max |learned offset| + 1 at
+    # every level (the offset-bias init maxes at 4 px per component, so 5 is
+    # exact at init; v5e: margin 5 is ~16% faster than 8). Runtime overflow
+    # counters + caller fallbacks guard learned checkpoints that exceed it.
+    sampling_margin: int = 5
 
     # --- matcher costs (reference main.py:110-121) -------------------------
     set_cost_is_human: float = 1.0

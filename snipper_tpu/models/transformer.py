@@ -57,6 +57,10 @@ class TemporalDeformAttn(nn.Module):
     n_points: int
     n_frames: int          # observed frames T2
     impl: str = "xla"
+    sampling_margin: int = 8     # windowed-sampling margin rows; must cover
+                                 # max |learned offset| + 1 (init bias max
+                                 # component = 4 px -> 5 is exact at init);
+                                 # overflow is counted at runtime
     sample_dtype: str = "auto"   # "float32": run the sampling op in f32
                                  # regardless of activation dtype (bf16
                                  # (16,128) tiling around the remat'd chunk
@@ -109,7 +113,7 @@ class TemporalDeformAttn(nn.Module):
             logits = logits.astype(jnp.float32)
         out, overflow = temporal_deform_sample(
             value, spatial_shapes, loc, logits, adjacency, impl=self.impl,
-            query_segments=query_segments)
+            query_segments=query_segments, margin_px=self.sampling_margin)
         out = out.astype(query.dtype)
         out = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                        name="output_proj")(out)
@@ -169,6 +173,7 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     impl: str = "xla"
     sample_dtype: str = "auto"
+    sampling_margin: int = 8
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
@@ -180,7 +185,7 @@ class EncoderLayer(nn.Module):
         src2, overflow = TemporalDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.n_frames, impl=self.impl, sample_dtype=self.sample_dtype,
-            name="self_attn")(
+            sampling_margin=self.sampling_margin, name="self_attn")(
                 src + pos, reference_points, src, spatial_shapes,
                 padding_mask, query_segments=segments)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
@@ -204,6 +209,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     impl: str = "xla"
     sample_dtype: str = "auto"
+    sampling_margin: int = 8
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -225,7 +231,7 @@ class DecoderLayer(nn.Module):
         tgt2, _, attn_data = TemporalDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.n_frames, impl=self.impl, sample_dtype=self.sample_dtype,
-            name="cross_attn")(
+            sampling_margin=self.sampling_margin, name="cross_attn")(
                 tgt + query_pos, reference_points, src, spatial_shapes,
                 src_padding_mask, return_attn=True)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
@@ -274,6 +280,7 @@ class DeformableTransformer(nn.Module):
     dropout: float = 0.1
     impl: str = "xla"
     sample_dtype: str = "auto"
+    sampling_margin: int = 8
     # rematerialize encoder/decoder layers in the backward pass: the
     # deformable-sampling intermediates (gathered corners, one-hot
     # matrices) otherwise get saved per chunk per layer and blow HBM at
@@ -334,6 +341,7 @@ class DeformableTransformer(nn.Module):
                 self.d_model, self.dim_feedforward, L, self.n_heads,
                 self.enc_n_points, self.n_frames, self.dropout,
                 impl=self.impl, sample_dtype=self.sample_dtype,
+                sampling_margin=self.sampling_margin,
                 name=f"encoder_layer{i}")(
                     memory, pos_flat, enc_ref, spatial_shapes, mask_flat,
                     train)
@@ -383,6 +391,7 @@ class DeformableTransformer(nn.Module):
                 self.d_model, self.dim_feedforward, L, self.n_heads,
                 self.dec_n_points, self.n_frames, self.dropout,
                 impl=self.impl, sample_dtype=self.sample_dtype,
+                sampling_margin=self.sampling_margin,
                 name=f"decoder_layer{i}")(
                     output, query_pos, ref_input, memory, spatial_shapes,
                     mask_flat, train)

@@ -677,6 +677,7 @@ def temporal_deform_sample(
     query_chunk: int | None = None,
     onehot_max_s: int = 8192,
     query_segments: Sequence[int] | None = None,
+    margin_px: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Temporal multi-frame deformable attention with shared per-frame
     projections (the reference's weight-sharing structure, see module
@@ -742,7 +743,8 @@ def temporal_deform_sample(
                                                             nH * D)
     elif impl == "windowed" and query_segments is not None:
         out, overflow = ms_deform_attn_windowed(
-            v_flat, spatial_shapes, loc_flat, attn_flat, query_segments)
+            v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
+            margin_px=margin_px)
     elif impl in ("pmerged", "windowed"):
         out = ms_deform_attn_pmerged(v_flat, spatial_shapes, loc_flat,
                                      attn_flat, query_chunk=query_chunk)

@@ -106,3 +106,78 @@ def test_param_labels():
     for k, v in joined.items():
         if "running_mean" in k or "running_var" in k:
             assert v == "frozen", k
+
+
+def test_mixed_precision_matches_f32_losses():
+    """bf16-mp (f32 master weights, bf16 activations) must track the f32
+    loss trajectory closely over a few steps (the recommended train mode,
+    BASELINE.md 'Train-step impl findings')."""
+    import jax
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.data.loader import DataLoader
+    from snipper_tpu.data.synthetic import SyntheticDataset
+    from snipper_tpu.losses.criterion import SetCriterion
+    from snipper_tpu.models.snipper import init_model
+    from snipper_tpu.train.state import create_train_state
+    from snipper_tpu.train.step import make_train_step
+
+    cfg = Config.tiny()
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    crit = SetCriterion(cfg)
+    loader = DataLoader(SyntheticDataset(cfg, n_samples=2), 2, shuffle=False,
+                        process_index=0, process_count=1)
+    raw = next(iter(loader))
+    batch = {"images": raw["images"], "targets": raw["targets"]}
+    rng = jax.random.PRNGKey(1)
+
+    traj = {}
+    for mp in (False, True):
+        state, tx = create_train_state(cfg, params, steps_per_epoch=10)
+        step = make_train_step(model, crit, tx, mixed_precision=mp,
+                               donate=False)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch, rng)
+            losses.append(float(m["loss_total"]))
+        traj[mp] = losses
+
+    for a, b in zip(traj[False], traj[True]):
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.05, traj
+    assert traj[True][-1] < traj[True][0]  # it actually learns
+
+
+def test_model_overflow_counter_fires_on_large_offsets():
+    """Model-level exactness guard: bump the learned offset bias beyond the
+    window margin and the windowed forward must REPORT dropped taps (this is
+    what the bench / infer margin cascade keys off)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.models.snipper import init_model
+
+    # needs a level-0 large enough that the plan enables windows (the tiny
+    # preset's 8x12 grids run full-width, i.e. always exact)
+    cfg = Config.tiny().replace(deform_impl="windowed", sampling_margin=5,
+                                input_height=480, input_width=640)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, cfg.num_frames, cfg.input_height, cfg.input_width, 3),
+                  jnp.float32)
+    out = model.apply({"params": params}, x)
+    assert float(out["sampling_overflow"]) == 0.0  # init offsets <= 4 px
+
+    def bump(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "sampling_offsets" in names and names[-1] == "bias":
+            # alternate +/-20 px: the tap SPREAD (not the shift — the
+            # window start tracks the chunk minimum) must exceed the
+            # margin while taps stay INSIDE the 60x80-px level-0 map
+            # (out-of-map taps are zero-weight and not counted)
+            sign = 1.0 - 2.0 * ((jnp.arange(leaf.shape[0]) // 2) % 2)
+            return leaf + 20.0 * sign
+        return leaf
+
+    big = jax.tree_util.tree_map_with_path(bump, params)
+    out2 = model.apply({"params": big}, x)
+    assert float(out2["sampling_overflow"]) > 0.0

@@ -56,9 +56,14 @@ def _kernel(ids_ref, wgt_ref, v_ref, out_ref):
             w_tile = w_tile + jnp.where(
                 ids[:, c:c + 1] == lane, wgt[:, c:c + 1], 0.0)
         v_tile = v_ref[0, pl.ds(s0, S_TILE), :]
+        # f32 inputs must not silently drop to the bf16 MXU default
+        # (measured ~3e-3 rel error); HIGHEST = full-precision passes
+        prec = (None if v_tile.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         return acc + jax.lax.dot_general(
             w_tile.astype(v_tile.dtype), v_tile,
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32)
 
     out_ref[0] = jax.lax.fori_loop(0, S // S_TILE, body,
@@ -104,12 +109,17 @@ def ms_deform_attn_pallas(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
-    onehot_max_s: int = 8192,
+    onehot_max_s: int = 32768,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Drop-in for ``ms_deform_attn_core`` using the Pallas weighted-one-hot
-    kernel per level. Levels larger than ``onehot_max_s`` are rejected
-    (use ``deform_impl='xla'``, whose corner-packed gather handles them)."""
+    kernel per level.
+
+    ``onehot_max_s`` bounds the per-level VMEM value block
+    (``[S, D] f32`` = 6.3 MB at the 32768 default with D=48, within the
+    ~16 MB/core budget alongside the one-hot tiles); larger levels are
+    rejected (use ``deform_impl='xla'``, whose corner-packed gather handles
+    any size). Covers every shipped config up to ~1080p inputs."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

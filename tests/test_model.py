@@ -61,3 +61,35 @@ def test_padding_mask_changes_output(setup):
                            np.asarray(o2["pred_kpts2d"]))
     for v in jax.tree.leaves(o2):
         assert bool(jnp.isfinite(v).all())
+
+
+def test_windowed_full_model_matches_exact_path():
+    """The served/benched sampling path (windowed, margin-5 cascade) must
+    produce the same full-model outputs as the exact pmerged path when the
+    overflow counter reads zero — on an input large enough that windows are
+    actually ACTIVE (the tiny preset's grids run full-width)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.models.snipper import init_model
+
+    rng = np.random.default_rng(0)
+    base = Config.tiny().replace(input_height=480, input_width=640,
+                                 sampling_margin=5)
+    x = jnp.asarray(rng.uniform(0, 1, (1, base.num_frames, 480, 640, 3)),
+                    jnp.float32)
+
+    outs = {}
+    for impl in ("windowed", "pmerged"):
+        cfg = base.replace(deform_impl=impl)
+        model, params = init_model(cfg, jax.random.PRNGKey(0))
+        outs[impl] = model.apply({"params": params}, x)
+
+    assert float(outs["windowed"]["sampling_overflow"]) == 0.0
+    for key in ("pred_logits", "pred_kpts2d", "pred_depth"):
+        np.testing.assert_allclose(
+            np.asarray(outs["windowed"][key]),
+            np.asarray(outs["pmerged"][key]), rtol=2e-4, atol=2e-5,
+            err_msg=key)

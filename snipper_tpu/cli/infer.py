@@ -123,6 +123,9 @@ def main():
                 done = True
             if not group:
                 break
+            # (with --device_preprocess this round-trips the warped frames
+            # through the host once per group to assemble the sharded batch
+            # — negligible next to decode on PCIe-attached hosts)
             imgs = np.stack([np.asarray(to_device(s)) for s in group])
             n = imgs.shape[0]
             if n < dp:  # pad the tail group; padded outputs are dropped
@@ -189,7 +192,7 @@ def main():
     with open(os.path.join(args.output_dir, "tracks.pkl"), "wb") as f:
         pickle.dump({"frames": frames, "max_pid": max_pid}, f)
 
-    if args.save_visuals:
+    if args.save_visuals and first_sample is not None:
         from snipper_tpu.infer.visualize import (save_as_videos,
                                                  save_visual_results,
                                                  visualize_attention,

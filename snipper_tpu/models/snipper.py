@@ -106,7 +106,8 @@ class Snipper(nn.Module):
             n_frames=cfg.num_frames, n_future_frames=cfg.num_future_frames,
             num_keypoints=cfg.num_kpts, dropout=cfg.dropout,
             impl=cfg.deform_impl, sample_dtype=cfg.deform_dtype,
-            sampling_margin=cfg.sampling_margin, name="transformer",
+            sampling_margin=cfg.sampling_margin,
+            remat_policy=cfg.remat_policy, name="transformer",
         )(srcs, masks if mask is not None else None, pos_embeds, query_embed,
           train=train)
 

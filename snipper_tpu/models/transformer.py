@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.ad_checkpoint import checkpoint_name
+
 from snipper_tpu.ops.deform_attn import temporal_adjacency, temporal_deform_sample
 
 xavier_uniform = nn.initializers.xavier_uniform()
@@ -114,6 +116,7 @@ class TemporalDeformAttn(nn.Module):
         out, overflow = temporal_deform_sample(
             value, spatial_shapes, loc, logits, adjacency, impl=self.impl,
             query_segments=query_segments, margin_px=self.sampling_margin)
+        out = checkpoint_name(out, "deform_out")
         out = out.astype(query.dtype)
         out = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                        name="output_proj")(out)
@@ -286,6 +289,12 @@ class DeformableTransformer(nn.Module):
     # matrices) otherwise get saved per chunk per layer and blow HBM at
     # training time (measured 168GB at canonical scale)
     remat: bool = True
+    # remat policy: "full" recomputes everything in the backward;
+    # "save_sampling" keeps each layer's (small) deformable-sampling
+    # output as a residual so the expensive select-bound sampling forward
+    # is not recomputed during the layer's backward (~60 MB/layer at
+    # canonical scale - measured trade on v5e in BASELINE.md)
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -332,7 +341,10 @@ class DeformableTransformer(nn.Module):
                                    (B, T, enc_ref.shape[1], L, 2))
         # static_argnums for flax nn.remat count self as arg 0:
         # (self, src, pos, ref, spatial_shapes=4, padding_mask, train=6)
-        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4, 6))
+        policy = (jax.checkpoint_policies.save_only_these_names(
+            "deform_out") if self.remat_policy == "save_sampling" else None)
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4, 6),
+                            policy=policy)
                    if self.remat else EncoderLayer)
         memory = src_flat
         sampling_overflow = jnp.zeros((), jnp.float32)
@@ -380,7 +392,8 @@ class DeformableTransformer(nn.Module):
         root_linear = nn.Dense(4, name="root_embed")
 
         # (self, tgt, query_pos, ref, src, spatial_shapes=5, mask, train=7)
-        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
+        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7),
+                            policy=policy)
                    if self.remat else DecoderLayer)
         hs, refs_in, roots_raw, attn_all = [], [], [], []
         output = query_obj

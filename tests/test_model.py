@@ -93,3 +93,38 @@ def test_windowed_full_model_matches_exact_path():
             np.asarray(outs["windowed"][key]),
             np.asarray(outs["pmerged"][key]), rtol=2e-4, atol=2e-5,
             err_msg=key)
+
+
+def test_remat_policy_gradients_match():
+    """remat_policy='save_sampling' changes WHAT is stored, not the math:
+    gradients must match the default full-recompute policy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.models.snipper import init_model
+
+    rng = np.random.default_rng(0)
+    x = None
+    grads = {}
+    for policy in ("full", "save_sampling"):
+        cfg = Config.tiny().replace(remat_policy=policy)
+        model, params = init_model(cfg, jax.random.PRNGKey(0))
+        if x is None:
+            x = jnp.asarray(rng.uniform(
+                0, 1, (1, cfg.num_frames, cfg.input_height, cfg.input_width,
+                       3)), jnp.float32)
+
+        def loss(p):
+            out = model.apply({"params": p}, x)
+            return (jnp.sum(out["pred_kpts2d"] ** 2)
+                    + jnp.sum(out["pred_logits"] ** 2))
+
+        grads[policy] = jax.grad(loss)(params)
+
+    flat_a = jax.tree_util.tree_leaves(grads["full"])
+    flat_b = jax.tree_util.tree_leaves(grads["save_sampling"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -10,8 +10,8 @@ train step (batch 2, fwd + device Hungarian + 6 losses + bwd + AdamW) and
 reports it as an extra key. Train reports the RECOMMENDED mixed-precision
 mode (bf16 activations, f32 master weights/losses; measured 1.8x faster
 than f32 with matching loss trajectories — BASELINE.md "Train-step impl
-findings"). Round-1's 237/266 ms train claims were mis-measured and are
-retracted there.
+findings — CORRECTED", which also retracts the mis-measured round-1
+train-step claims).
 
 Methodology notes (axon TPU tunnel):
 - enqueue K iterations then read one small output once: per-call readback

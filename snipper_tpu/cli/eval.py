@@ -37,8 +37,9 @@ def main():
     respect_platform_env()
     cfg = build_config(args)
     # evaluation is forward-only: the point-merged sampling is exact and
-    # ~15% faster than the train-default "xla" core (BASELINE.md)
-    if cfg.deform_impl == "xla":
+    # ~15% faster than the train-default "xla" core (BASELINE.md).
+    # An explicit --deform_impl on the command line wins over this default.
+    if args.deform_impl is None and cfg.deform_impl == "xla":
         cfg = cfg.replace(deform_impl="pmerged")
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from snipper_tpu.cli.common import add_config_args, build_config
-from snipper_tpu.infer.pipeline import (associate_snippets,
+from snipper_tpu.infer.pipeline import (ExactnessGuard, associate_snippets,
                                         iter_snippet_samples,
                                         prefetched, snippet_index)
 from snipper_tpu.models.snipper import init_model
@@ -44,8 +44,9 @@ def main():
     respect_platform_env()
     cfg = build_config(args)
     # inference is forward-only: default to the windowed sampling fast path
-    # (exact while the runtime overflow counter stays zero; checked below)
-    if cfg.deform_impl in ("pmerged", "xla"):
+    # (exact while the runtime overflow counter stays zero; guarded below).
+    # An explicit --deform_impl on the command line wins over this default.
+    if args.deform_impl is None and cfg.deform_impl in ("pmerged", "xla"):
         cfg = cfg.replace(deform_impl="windowed")
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -54,8 +55,6 @@ def main():
         params = load_torch_checkpoint(args.pretrained_torch, cfg)
     elif args.resume:
         params = restore_checkpoint(args.resume, None)["params"]
-
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
 
     frame_indices, all_files = snippet_index(args.data_dir, cfg.num_frames,
                                              args.seq_gap)
@@ -108,7 +107,16 @@ def main():
         from snipper_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(dp_size=-1, tp_size=1)
-        run, dp = make_data_parallel_forward(model, params, mesh)
+        dp = mesh.shape["data"]
+
+        def build_run(c):
+            nonlocal model
+            model, _ = init_model(c, jax.random.PRNGKey(0))
+            return make_data_parallel_forward(model, params, mesh)[0]
+
+        # exactness checked on EVERY group (offsets are input-dependent;
+        # any snippet can overflow the window margin, not just the first)
+        guard = ExactnessGuard(cfg, build_run)
         print(f"data-parallel inference over {dp} devices", flush=True)
         done = False
         while not done:
@@ -131,55 +139,28 @@ def main():
             if n < dp:  # pad the tail group; padded outputs are dropped
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], dp - n, 0)], 0)
-            out = run(imgs)
-            if not results and cfg.deform_impl == "windowed" and \
-                    float(np.asarray(out["sampling_overflow"])) > 0:
-                if cfg.sampling_margin < 8:
-                    print("windowed overflow: widening margin to 8",
-                          flush=True)
-                    cfg = cfg.replace(sampling_margin=8)
-                else:
-                    print("windowed sampling overflow: falling back to the "
-                          "exact pmerged path", flush=True)
-                    cfg = cfg.replace(deform_impl="pmerged")
-                model, _ = init_model(cfg, jax.random.PRNGKey(0))
-                run, dp = make_data_parallel_forward(model, params, mesh)
-                out = run(imgs)
-                if cfg.deform_impl == "windowed" and \
-                        float(np.asarray(out["sampling_overflow"])) > 0:
-                    print("still overflowing: exact pmerged path", flush=True)
-                    cfg = cfg.replace(deform_impl="pmerged")
-                    model, _ = init_model(cfg, jax.random.PRNGKey(0))
-                    run, dp = make_data_parallel_forward(model, params, mesh)
-                    out = run(imgs)
+            out = guard(imgs)
+            cfg = guard.cfg
             logits = np.asarray(out["pred_logits"])
             kpts = np.asarray(out["pred_kpts2d"])
             depth = np.asarray(out["pred_depth"])
             for b, s in enumerate(group):
                 results.append(decode_one(logits[b], kpts[b], depth[b], s))
     else:
-        for i, s in enumerate(sample_iter):
+        def build_fwd(c):
+            nonlocal model
+            model, _ = init_model(c, jax.random.PRNGKey(0))
+            jitted = jax.jit(lambda p, x: model.apply({"params": p}, x))
+            return lambda x: jitted(params, x)
+
+        # exactness checked on EVERY snippet (offsets are input-dependent;
+        # any snippet can overflow the window margin, not just the first)
+        guard = ExactnessGuard(cfg, build_fwd)
+        for s in sample_iter:
             if first_sample is None:
                 first_sample = s
-            out = fwd(params, to_device(s)[None])
-            if i == 0 and cfg.deform_impl == "windowed":
-                # exactness guard: learned offsets beyond the window margin
-                # drop taps — widen the margin, then fall back to exact
-                if float(np.asarray(out["sampling_overflow"])) > 0 and \
-                        cfg.sampling_margin < 8:
-                    print("windowed overflow at margin "
-                          f"{cfg.sampling_margin}: widening to 8", flush=True)
-                    cfg = cfg.replace(sampling_margin=8)
-                    model, _ = init_model(cfg, jax.random.PRNGKey(0))
-                    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-                    out = fwd(params, to_device(s)[None])
-                if float(np.asarray(out["sampling_overflow"])) > 0:
-                    print("windowed sampling overflow: falling back to the "
-                          "exact pmerged path", flush=True)
-                    cfg = cfg.replace(deform_impl="pmerged")
-                    model, _ = init_model(cfg, jax.random.PRNGKey(0))
-                    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-                    out = fwd(params, to_device(s)[None])
+            out = guard(to_device(s)[None])
+            cfg = guard.cfg
             results.append(decode_one(np.asarray(out["pred_logits"][0]),
                                       np.asarray(out["pred_kpts2d"][0]),
                                       np.asarray(out["pred_depth"][0]), s))

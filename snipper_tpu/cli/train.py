@@ -34,10 +34,12 @@ def main():
     add_config_args(parser)
     add_data_args(parser)
     parser.add_argument("--eval_every", type=int, default=1)
-    parser.add_argument("--mixed_precision", action="store_true",
+    parser.add_argument("--mixed_precision",
+                        action=argparse.BooleanOptionalAction, default=True,
                         help="bf16 activations with f32 master weights/"
-                             "losses — ~1.8x faster per step on v5e "
-                             "(BASELINE.md train-impl findings)")
+                             "losses — ~1.8x faster per step on v5e and the "
+                             "recommended default (BASELINE.md train-impl "
+                             "findings); --no-mixed_precision for full f32")
     args = parser.parse_args()
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()

@@ -57,9 +57,10 @@ class Config:
     # "Train-step impl findings"). Forward-only entry points (bench,
     # cli.infer, cli.eval) override to "windowed"/"pmerged".
     deform_impl: str = "xla"
-    # "auto": sampling follows the activation dtype; "float32": force the
-    # sampling op to f32 (mixed-precision training otherwise hits a bf16
-    # (16,128)-tiling x remat cliff, BASELINE.md)
+    # "auto": sampling follows the activation dtype — the measured-faster
+    # recommended setting (bf16-mp "auto" 2038 ms vs "float32" 3423 ms at
+    # canonical b2, BASELINE.md corrected train table). "float32" forces the
+    # sampling op to f32 as a numerics/debug escape hatch only.
     deform_dtype: str = "auto"
     # windowed-sampling margin rows: must cover max |learned offset| + 1 at
     # every level (the offset-bias init maxes at 4 px per component, so 5 is

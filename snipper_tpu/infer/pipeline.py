@@ -283,3 +283,45 @@ def make_data_parallel_forward(model, params, mesh):
         return fwd(repl, x)
 
     return run, dp
+
+
+class ExactnessGuard:
+    """Forward wrapper enforcing windowed-sampling exactness on EVERY call.
+
+    The windowed deformable-sampling path is exact only while its runtime
+    dropped-tap counter (``out["sampling_overflow"]``) stays zero; learned
+    offsets can exceed the contraction-window margin on ANY snippet, not
+    just the first (offsets are input-dependent). This guard re-checks the
+    counter after every forward — the outputs are read back to host each
+    iteration anyway, so the extra scalar read is free — and escalates the
+    margin cascade 5 -> 8 -> exact pmerged, re-running the snippet that
+    overflowed so no corrupted predictions are ever returned.
+
+    ``build(cfg) -> forward`` rebuilds the jitted forward for a new config
+    (compile cost is paid at most twice per process). Exactness contract of
+    reference ``models/ops/functions/ms_deform_attn_func.py:45-65``.
+    """
+
+    def __init__(self, cfg, build):
+        self.cfg = cfg
+        self._build = build
+        self._fwd = build(cfg)
+        self.overflow_events = 0
+
+    def __call__(self, imgs):
+        out = self._fwd(imgs)
+        while self.cfg.deform_impl == "windowed" and \
+                float(np.asarray(out["sampling_overflow"])) > 0:
+            self.overflow_events += 1
+            if self.cfg.sampling_margin < 8:
+                print(f"windowed overflow at margin "
+                      f"{self.cfg.sampling_margin}: widening to 8",
+                      flush=True)
+                self.cfg = self.cfg.replace(sampling_margin=8)
+            else:
+                print("windowed sampling overflow: falling back to the "
+                      "exact pmerged path", flush=True)
+                self.cfg = self.cfg.replace(deform_impl="pmerged")
+            self._fwd = self._build(self.cfg)
+            out = self._fwd(imgs)
+        return out

@@ -293,8 +293,9 @@ class DeformableTransformer(nn.Module):
     # "save_sampling" keeps each layer's (small) deformable-sampling
     # output as a residual so the expensive select-bound sampling forward
     # is not recomputed during the layer's backward (~60 MB/layer at
-    # canonical scale - measured trade on v5e in BASELINE.md)
-    remat_policy: str = "full"
+    # canonical scale — measured 20-22% faster steps on v5e, BASELINE.md).
+    # Default matches Config.remat_policy (single source of truth).
+    remat_policy: str = "save_sampling"
 
     @nn.compact
     def __call__(

@@ -31,7 +31,7 @@ def make_train_step(
     tx,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
-    mixed_precision: bool = False,
+    mixed_precision: bool = True,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -40,10 +40,11 @@ def make_train_step(
 
     ``mixed_precision``: run the network in bfloat16 (params cast inside the
     loss; f32 master weights, f32 losses/optimizer — the criterion computes
-    in f32 regardless of activation dtype). Converges, but measured SLOWER
-    than f32 on v5e at canonical scale (2066 vs 237 ms/step at batch 2 —
-    the bf16 (16,128) tiling interacts badly with the remat'd sampling);
-    off by default.
+    in f32 regardless of activation dtype). ~1.8x faster than f32 on v5e at
+    canonical scale (b2 ~1.6-1.9 s vs ~2.8 s with the save_sampling remat
+    policy; BASELINE.md "Train-step impl findings — CORRECTED") with
+    matching loss trajectories — the recommended production mode and the
+    default. Pass ``mixed_precision=False`` for full-f32 numerics debugging.
     """
 
     def step(state: TrainState, batch: Dict, rng) -> tuple:

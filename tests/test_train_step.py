@@ -41,7 +41,10 @@ def setup():
     crit = SetCriterion(cfg)
     state, tx = create_train_state(cfg, params, steps_per_epoch=10)
     mesh = make_mesh(dp_size=8, tp_size=1)
-    step = make_train_step(model, crit, tx, mesh, donate=False)
+    # explicit f32 keeps the CPU-mesh suite fast (bf16 is emulated on CPU);
+    # the default bf16-mp path is covered by test_mixed_precision_*
+    step = make_train_step(model, crit, tx, mesh, donate=False,
+                           mixed_precision=False)
     batch = _synthetic_batch(cfg, 8, np.random.default_rng(0))
     return cfg, state, step, mesh, batch
 

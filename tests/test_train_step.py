@@ -184,3 +184,47 @@ def test_model_overflow_counter_fires_on_large_offsets():
     big = jax.tree_util.tree_map_with_path(bump, params)
     out2 = model.apply({"params": big}, x)
     assert float(out2["sampling_overflow"]) > 0.0
+
+
+def test_tp2_matches_tp1_and_unsharded():
+    """Tensor-parallel equivalence (column/row-parallel cuts around the
+    per-head sampling, parallel/mesh.py::_tp_spec): the tiny forward+loss
+    and its gradients must be numerically identical (up to f32 collective
+    reassociation) on an unsharded device, a dp-only mesh, and a
+    (data=4, model=2) TP mesh — the invariant DDP gave the reference for
+    free (reference util/misc.py:400-439)."""
+    import jax
+
+    from snipper_tpu.parallel.mesh import param_shardings
+
+    cfg = Config.tiny()
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    crit = SetCriterion(cfg)
+    batch = _synthetic_batch(cfg, 4, np.random.default_rng(3))
+
+    def loss_fn(p, b):
+        out = model.apply({"params": p}, b["images"])
+        total, _, _ = crit(out, b["targets"])
+        return total
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    import optax
+
+    results = {}
+    # unsharded single-device reference
+    loss, grads = grad_fn(params, batch)
+    results["unsharded"] = (float(loss), float(optax.global_norm(grads)))
+
+    for name, (dp, tp) in (("dp4", (4, 1)), ("dp4_tp2", (4, 2))):
+        mesh = make_mesh(dp_size=dp, tp_size=tp)
+        sh = param_shardings(mesh, params, tensor_parallel=(tp > 1))
+        p = jax.tree_util.tree_map(jax.device_put, params, sh)
+        b = shard_batch(batch, mesh)
+        loss, grads = grad_fn(p, b)
+        results[name] = (float(loss), float(optax.global_norm(grads)))
+
+    ref_l, ref_g = results["unsharded"]
+    for name, (l, g) in results.items():
+        assert abs(l - ref_l) / max(abs(ref_l), 1e-6) < 1e-4, results
+        assert abs(g - ref_g) / max(abs(ref_g), 1e-6) < 1e-3, results

@@ -32,6 +32,10 @@ def main():
                              "PoseTrack AP/MOT evaluation after writing")
     parser.add_argument("--coco_gt_json", type=str, default=None,
                         help="COCO keypoint GT json; if given, run OKS eval")
+    parser.add_argument("--save_vis", action="store_true",
+                        help="write GT-vs-prediction keypoint renders for "
+                             "the first eval batches (reference "
+                             "engine.py:132-135 save_vis)")
     args = parser.parse_args()
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
@@ -56,7 +60,10 @@ def main():
 
     crit = SetCriterion(cfg)
     eval_step = make_eval_step(model, crit)
-    stats = evaluate(eval_step, params, loader, cfg, collect_results=True)
+    stats = evaluate(
+        eval_step, params, loader, cfg, collect_results=True,
+        save_vis_dir=(os.path.join(args.output_dir, "eval_vis")
+                      if args.save_vis else None))
     results = stats.pop("_results", [])
 
     with open(os.path.join(args.output_dir, "eval_stats.json"), "w") as f:

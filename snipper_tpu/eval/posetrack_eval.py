@@ -116,6 +116,16 @@ def assign_frame(gt: Frame, pred: Frame, dist_thresh: float = 0.5):
                       "pr_ids": pred.track_ids[p_idx].tolist(),
                       "dist": dm}
 
+        # per-GT-joint correctness for the PCKh table (reference
+        # poseval_old/evaluatePCKh.py): a GT joint is correct when its
+        # pose-assigned prediction lands within 0.5 * head size
+        correct = np.zeros(J, np.int64)
+        for g in range(n_gt_poses):
+            p = int(pr_to_gt[g])
+            if p >= 0:
+                correct += (match[p, g] & has_gt[g]).astype(np.int64)
+        mot["pckh"] = (correct, n_gt.astype(np.int64))
+
         matched_pr = set(pr_to_gt[pr_to_gt >= 0].tolist())
         for p in range(n_pr_poses):
             if p in matched_pr:
@@ -139,6 +149,8 @@ def assign_frame(gt: Frame, pred: Frame, dist_thresh: float = 0.5):
             mot[j] = {"gt_ids": gt.track_ids.tolist() if n_gt_poses else [],
                       "pr_ids": pred.track_ids.tolist() if n_pr_poses else [],
                       "dist": np.full((n_gt_poses, n_pr_poses), np.nan)}
+        mot["pckh"] = (np.zeros(J, np.int64),
+                       np.asarray(n_gt, np.int64))
     return scores, labels, n_gt, mot
 
 
@@ -275,6 +287,24 @@ def evaluate_tracking(gt_frames: List[Frame], pred_frames: List[Frame],
     return out
 
 
+def evaluate_pckh(gt_frames: List[Frame], pred_frames: List[Frame],
+                  dist_thresh: float = 0.5) -> Dict[str, np.ndarray]:
+    """Per-joint PCKh table + mean (reference
+    ``poseval_old/evaluatePCKh.py``): fraction of GT joints whose
+    pose-assigned prediction falls within ``dist_thresh`` x head size."""
+    J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size), default=15)
+    correct = np.zeros(J, np.int64)
+    total = np.zeros(J, np.int64)
+    for g, p in zip(gt_frames, pred_frames):
+        _, _, _, mot = assign_frame(g, p, dist_thresh)
+        c, n = mot["pckh"]
+        correct[:len(c)] += c
+        total[:len(n)] += n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vals = 100.0 * correct / np.where(total > 0, total, np.nan)
+    return {"pckh": np.append(vals, np.nanmean(vals))}
+
+
 def evaluate_ap(gt_frames: List[Frame], pred_frames: List[Frame],
                 dist_thresh: float = 0.5) -> Dict[str, np.ndarray]:
     all_s, all_l, all_n = [], [], []
@@ -343,6 +373,7 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
     out = {}
     if eval_pose:
         out["ap"] = evaluate_ap(gt_frames, pr_frames)
+        out["pckh"] = evaluate_pckh(gt_frames, pr_frames)
     if eval_tracking:
         out["tracking"] = evaluate_tracking(gt_frames, pr_frames)
     return out

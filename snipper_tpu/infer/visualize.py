@@ -377,3 +377,50 @@ def visualize_attention(attn_data, images: np.ndarray, save_dir: str,
         fig.savefig(os.path.join(save_dir, f"attention_t{t}.jpg"),
                     bbox_inches="tight")
         plt.close(fig)
+
+
+def save_eval_keypoint_renders(results, images: np.ndarray, save_dir: str,
+                               batch_idx: int = 0,
+                               max_samples: int = 4) -> None:
+    """GT-vs-prediction keypoint renders for one eval batch.
+
+    Counterpart of the reference's eval-time visualization
+    (``visualize_eval_kepts_pred``, reference ``engine.py:216`` called at
+    ``:132-135`` under ``save_vis``): per sample, the observed frames are
+    tiled horizontally with GT skeletons in green and the criterion-matched
+    predictions in red, written as one JPEG per sample.
+    """
+    import os
+
+    from PIL import Image
+
+    os.makedirs(save_dir, exist_ok=True)
+    imgs = np.asarray(images)
+    green, red = (40, 200, 60), (230, 50, 40)
+    for i, res in enumerate(results[:max_samples]):
+        if i >= imgs.shape[0]:
+            break
+        T = imgs.shape[1]
+        gt_k = np.asarray(res["gt_kpts"])           # [m, T1, K, 2]
+        gt_v = np.asarray(res["gt_kpts_vis"])       # [m, T1, K, 1]
+        pred_k = np.asarray(res["pred_kpts"])       # [n, T1, K, 2]
+        pred_s = np.asarray(res["pred_kpt_scores"]) # [n, T1, K, 1]
+        src_idx = tgt_idx = None
+        if res.get("indices") is not None:
+            src_idx, tgt_idx = (np.asarray(x) for x in res["indices"])
+        panels = []
+        for t in range(T):
+            img = np.clip(imgs[i, t] * 255.0, 0, 255).astype(np.uint8)
+            img = np.ascontiguousarray(img)
+            for p in range(gt_k.shape[0]):
+                kp = np.concatenate([gt_k[p, t], gt_v[p, t]], -1)
+                img = draw_skeleton_2d(img, kp, green)
+            if src_idx is not None and gt_k.shape[0]:
+                for p in range(min(len(src_idx), gt_k.shape[0])):
+                    kp = np.concatenate(
+                        [pred_k[src_idx[p], t], pred_s[src_idx[p], t]], -1)
+                    img = draw_skeleton_2d(img, kp, red)
+            panels.append(img)
+        board = np.concatenate(panels, axis=1)
+        Image.fromarray(board).save(
+            os.path.join(save_dir, f"eval_b{batch_idx:04d}_s{i}.jpg"))

@@ -17,11 +17,12 @@ import jax
 import numpy as np
 
 from snipper_tpu.config import Config
-from snipper_tpu.eval.metrics import eval_pose3d, pck3d
+from snipper_tpu.eval.metrics import eval_kpts2d_pckh, eval_pose3d, pck3d
 from snipper_tpu.infer.postprocess import postprocess
 from snipper_tpu.utils.logger import MetricLogger
 
 POSE3D_KEYS = ("mpjpe_root", "mpjpe_joint", "pel_mpjpe_joint", "3dpck")
+PCKH_KEYS = ("pckh_root", "pckh_joint")
 
 
 def _to_device_batch(batch: Dict) -> Dict:
@@ -81,14 +82,21 @@ def _local_shard(x) -> np.ndarray:
 
 def evaluate(eval_step_fn, params, loader, cfg: Config,
              print_freq: int = 10, collect_results: bool = False,
-             put_batch=None) -> Dict:
+             put_batch=None, save_vis_dir: Optional[str] = None,
+             save_vis_batches: int = 2) -> Dict:
+    """``save_vis_dir``: when set, the first ``save_vis_batches`` batches
+    get GT-vs-prediction keypoint renders written there (reference
+    ``engine.py:132-135`` under ``save_vis``)."""
     logger = MetricLogger()
     T, Tf = cfg.num_frames, cfg.num_future_frames
     pose3d = {k: [] for k in POSE3D_KEYS}
     pose3d_future = {k: [] for k in POSE3D_KEYS}
+    pckh = {k: [] for k in PCKH_KEYS}
     all_results = []
+    batch_idx = -1
 
     for batch in logger.log_every(loader, print_freq, "Eval:"):
+        batch_idx += 1
         dev_batch = _to_device_batch(batch)
         if put_batch is not None:
             dev_batch = put_batch(dev_batch)
@@ -102,6 +110,18 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
                               _local_shard(src_idx))
         if collect_results:
             all_results.extend(results)
+        if save_vis_dir is not None and batch_idx < save_vis_batches:
+            from snipper_tpu.infer.visualize import save_eval_keypoint_renders
+
+            save_eval_keypoint_renders(
+                results, np.asarray(batch["images"]), save_vis_dir,
+                batch_idx=batch_idx)
+        # 2D PCKh on posetrack-style samples (reference
+        # eval_utils.py:96-175; observed frames only)
+        for key in PCKH_KEYS:
+            v = eval_kpts2d_pckh(key, results, 0, T)
+            if v is not None and v.size:
+                pckh[key].append(v)
         for key in POSE3D_KEYS:
             mkey = "pel_mpjpe_joint" if key == "3dpck" else key
             cur = eval_pose3d(mkey, results, 0, T)
@@ -125,14 +145,14 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
 
         if collect_results:
             all_results = merge_eval_results(all_results)
-        for acc in (pose3d, pose3d_future):
+        for acc in (pose3d, pose3d_future, pckh):
             local = {k: (np.concatenate(v) if v else np.zeros((0,)))
                      for k, v in acc.items()}
             for k in acc:
                 acc[k] = [chunk[k] for chunk in all_gather_objects(local)]
 
     stats = {k: m.global_avg for k, m in logger.meters.items()}
-    for name, acc in (("", pose3d), ("future_", pose3d_future)):
+    for name, acc in (("", pose3d), ("future_", pose3d_future), ("", pckh)):
         for k, chunks in acc.items():
             if not chunks:
                 continue

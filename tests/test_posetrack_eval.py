@@ -177,3 +177,35 @@ def test_mot_golden_end_to_end_single_joint():
     np.testing.assert_allclose(out["mota"][0], 50.0)
     np.testing.assert_allclose(out["motp"][0],
                                (1 - (0.1 + 0.2 + 0.1) / 3) * 100)
+
+
+def test_pckh_golden_vectors():
+    """PCKh table (reference poseval_old/evaluatePCKh.py): hand-derived
+    values — perfect predictions give 100, a prediction displaced beyond
+    0.5*head_size on HALF the joints of one of two people gives 75 for
+    those joints, and missing predictions give 0."""
+    from snipper_tpu.eval.posetrack_eval import evaluate_pckh
+
+    gt = _gt_frame([(0, 0), (300, 300)], [1, 2])
+    # perfect
+    perfect = _pred_from_gt(gt)
+    out = evaluate_pckh([gt], [perfect])
+    np.testing.assert_allclose(out["pckh"], 100.0)
+
+    # person 2's first half of joints displaced by 40 px: head_size=50 ->
+    # threshold 25, so those joints are wrong for one of the two people:
+    # per-joint pckh = 1 correct / 2 GT = 50 for the first half, 100 rest
+    bad = _pred_from_gt(gt)
+    k = bad.kpts.copy()
+    k[1, : J // 2, 0] += 40.0
+    bad = Frame(k, bad.track_ids, seq=gt.seq)
+    out = evaluate_pckh([gt], [bad])
+    want = np.full(J, 100.0)
+    want[: J // 2] = 50.0
+    np.testing.assert_allclose(out["pckh"][:J], want)
+    np.testing.assert_allclose(out["pckh"][J], want.mean())
+
+    # no predictions at all -> 0 everywhere
+    empty = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64), seq=gt.seq)
+    out = evaluate_pckh([gt], [empty])
+    np.testing.assert_allclose(out["pckh"], 0.0)

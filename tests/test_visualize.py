@@ -100,3 +100,35 @@ def test_heatmap_and_attention_overlays(tmp_path):
                         query_scores=rng.uniform(0, 1, Lq), top_k=3)
     assert os.path.exists(tmp_path / "attn" / "attention_t0.jpg")
     assert os.path.exists(tmp_path / "attn" / "attention_t1.jpg")
+
+
+def test_save_eval_keypoint_renders(tmp_path):
+    """Eval-time GT-vs-pred render (reference engine.py:132-135 save_vis):
+    one JPEG per sample with observed frames tiled horizontally."""
+    import numpy as np
+
+    from snipper_tpu.infer.visualize import save_eval_keypoint_renders
+
+    rng = np.random.default_rng(0)
+    B, T, H, W, K = 2, 2, 48, 64, 15
+    images = rng.uniform(0, 1, (B, T, H, W, 3)).astype(np.float32)
+    results = []
+    for _ in range(B):
+        m, n = 2, 4
+        results.append({
+            "gt_kpts": rng.uniform(5, 40, (m, T, K, 2)).astype(np.float32),
+            "gt_kpts_vis": np.ones((m, T, K, 1), np.float32),
+            "pred_kpts": rng.uniform(5, 40, (n, T, K, 2)).astype(np.float32),
+            "pred_kpt_scores": np.ones((n, T, K, 1), np.float32),
+            "indices": (np.arange(m), np.arange(m)),
+        })
+    out = str(tmp_path / "vis")
+    save_eval_keypoint_renders(results, images, out, batch_idx=3)
+    import os
+
+    files = sorted(os.listdir(out))
+    assert files == ["eval_b0003_s0.jpg", "eval_b0003_s1.jpg"], files
+    from PIL import Image
+
+    im = Image.open(os.path.join(out, files[0]))
+    assert im.size == (W * T, H)

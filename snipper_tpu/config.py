@@ -67,6 +67,11 @@ class Config:
     # exact at init; v5e: margin 5 is ~16% faster than 8). Runtime overflow
     # counters + caller fallbacks guard learned checkpoints that exceed it.
     sampling_margin: int = 5
+    # "windowed2d" query-block rectangle (level-0 pixels; scaled per level):
+    # smaller blocks shrink the 2D contraction window toward the pure-margin
+    # floor at the cost of more scan steps — sweep on hardware
+    sampling_block_h: int = 8
+    sampling_block_w: int = 20
     # "full" | "save_sampling": see DeformableTransformer.remat_policy.
     # save_sampling keeps each layer's sampling output as a residual
     # (~360 MB at canonical b2 — fits) and skips recomputing the

@@ -107,6 +107,7 @@ class Snipper(nn.Module):
             num_keypoints=cfg.num_kpts, dropout=cfg.dropout,
             impl=cfg.deform_impl, sample_dtype=cfg.deform_dtype,
             sampling_margin=cfg.sampling_margin,
+            sampling_block=(cfg.sampling_block_h, cfg.sampling_block_w),
             remat_policy=cfg.remat_policy, name="transformer",
         )(srcs, masks if mask is not None else None, pos_embeds, query_embed,
           train=train)

@@ -63,6 +63,7 @@ class TemporalDeformAttn(nn.Module):
                                  # max |learned offset| + 1 (init bias max
                                  # component = 4 px -> 5 is exact at init);
                                  # overflow is counted at runtime
+    sampling_block: Tuple[int, int] = (8, 20)  # windowed2d query-block rect
     sample_dtype: str = "auto"   # "float32": run the sampling op in f32
                                  # regardless of activation dtype (bf16
                                  # (16,128) tiling around the remat'd chunk
@@ -115,7 +116,8 @@ class TemporalDeformAttn(nn.Module):
             logits = logits.astype(jnp.float32)
         out, overflow = temporal_deform_sample(
             value, spatial_shapes, loc, logits, adjacency, impl=self.impl,
-            query_segments=query_segments, margin_px=self.sampling_margin)
+            query_segments=query_segments, margin_px=self.sampling_margin,
+            block_hw=self.sampling_block)
         out = checkpoint_name(out, "deform_out")
         out = out.astype(query.dtype)
         out = nn.Dense(self.d_model, kernel_init=xavier_uniform,
@@ -177,6 +179,7 @@ class EncoderLayer(nn.Module):
     impl: str = "xla"
     sample_dtype: str = "auto"
     sampling_margin: int = 8
+    sampling_block: Tuple[int, int] = (8, 20)
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
@@ -188,7 +191,8 @@ class EncoderLayer(nn.Module):
         src2, overflow = TemporalDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.n_frames, impl=self.impl, sample_dtype=self.sample_dtype,
-            sampling_margin=self.sampling_margin, name="self_attn")(
+            sampling_margin=self.sampling_margin,
+            sampling_block=self.sampling_block, name="self_attn")(
                 src + pos, reference_points, src, spatial_shapes,
                 padding_mask, query_segments=segments)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
@@ -284,6 +288,7 @@ class DeformableTransformer(nn.Module):
     impl: str = "xla"
     sample_dtype: str = "auto"
     sampling_margin: int = 8
+    sampling_block: Tuple[int, int] = (8, 20)
     # rematerialize encoder/decoder layers in the backward pass: the
     # deformable-sampling intermediates (gathered corners, one-hot
     # matrices) otherwise get saved per chunk per layer and blow HBM at
@@ -355,6 +360,7 @@ class DeformableTransformer(nn.Module):
                 self.enc_n_points, self.n_frames, self.dropout,
                 impl=self.impl, sample_dtype=self.sample_dtype,
                 sampling_margin=self.sampling_margin,
+                sampling_block=self.sampling_block,
                 name=f"encoder_layer{i}")(
                     memory, pos_flat, enc_ref, spatial_shapes, mask_flat,
                     train)

@@ -439,6 +439,251 @@ def ms_deform_attn_windowed(
     return jnp.concatenate(outs, 1), overflow
 
 
+def windowed2d_plan(spatial_shapes: Sequence[Tuple[int, int]],
+                    block_h: int = 8, block_w: int = 20,
+                    margin_px: int = 8):
+    """Per-segment 2D block shapes + per-(segment, tap-level) 2D windows.
+
+    The 1D windows of :func:`windowed_sampling_plan` pay ``2 * margin * w``
+    elements per window because a y-margin costs whole ROWS of the
+    row-major-flattened level. Grouping a segment's queries into RECTANGULAR
+    pixel blocks ``(bh, bw)`` instead lets the contraction window be a 2D
+    rectangle ``(bh*sy + 2m + 2) x (bw*sx + 2m + 2)`` in tap-level pixels
+    (``sy/sx`` = level scale ratios, ``m`` = margin): the select width drops
+    from ~1664 to ~500-900 at the canonical level 0 — the same exactness
+    contract (dynamic window position from the min touched pixel, static
+    width, runtime overflow counter for dropped taps).
+
+    Block shapes scale with each segment's resolution (a seg-s block spans
+    the same NORMALIZED area as a seg-0 block) and are clamped to the
+    segment grid. Windows that wouldn't cut at least 25% of the level are
+    disabled (0 = full-width exact contraction).
+
+    Returns ``(blocks, wins)``: ``blocks[seg] = (bh_s, bw_s)``;
+    ``wins[seg][lvl] = (wy, wx)`` or ``(0, 0)`` when disabled.
+    """
+    h0, w0 = spatial_shapes[0]
+    blocks, wins = [], []
+    for (hs, ws) in spatial_shapes:
+        bh_s = max(2, min(hs, -(-block_h * hs // h0)))
+        bw_s = max(2, min(ws, -(-block_w * ws // w0)))
+        blocks.append((bh_s, bw_s))
+        seg_wins = []
+        for (ht, wt) in spatial_shapes:
+            # a (bh_s, bw_s) seg-pixel block spans ~bh_s*ht/hs tap rows;
+            # +2 covers the center-offset (-0.5) and the far bilinear corner
+            span_y = -(-bh_s * ht // hs)
+            span_x = -(-bw_s * wt // ws)
+            wy = span_y + 2 * margin_px + 2
+            wx = span_x + 2 * margin_px + 2
+            if wy * wx >= 0.75 * ht * wt:
+                seg_wins.append((0, 0))
+            else:
+                seg_wins.append((min(wy, ht), min(wx, wt)))
+        wins.append(seg_wins)
+    return blocks, wins
+
+
+def ms_deform_attn_pmerged2d(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    seg_shape: Tuple[int, int],
+    block: Tuple[int, int],
+    windows: Sequence[Tuple[int, int]],
+):
+    """P-merged one-hot sampling over 2D query blocks with 2D windows.
+
+    Exact :func:`ms_deform_attn_core` semantics for taps inside their
+    window; outside taps are DROPPED and counted (same contract as
+    :func:`ms_deform_attn_pmerged` with ``window=``). The queries MUST be
+    the row-major pixel grid of ``seg_shape`` (the encoder's per-level
+    query segments): they are regrouped into ``block=(bh, bw)`` pixel
+    rectangles so each scan step contracts only a ``(wy, wx)`` rectangle of
+    each tap level — ``wy*wx`` select/dot width instead of the 1D window's
+    ``span + 2*margin*w`` (2-4x less VPU select work at canonical scale).
+
+    Args:
+      value: ``[B, S, H, D]`` level-concatenated.
+      sampling_locations/attention_weights: ``[B, S_seg, H, L, P, {2,}]``
+        for this segment's queries only.
+      seg_shape: ``(h_seg, w_seg)`` with ``h_seg * w_seg == S_seg``.
+      block: ``(bh, bw)`` query block rectangle (seg pixels).
+      windows: per tap level ``(wy, wx)`` or ``(0, 0)`` for full width.
+
+    Returns ``(out [B, S_seg, H*D], overflow scalar f32)``.
+    """
+    B, S, nH, D = value.shape
+    _, Sseg, _, L, P, _ = sampling_locations.shape
+    hs, ws_ = seg_shape
+    assert hs * ws_ == Sseg, (seg_shape, Sseg)
+    bh, bw = block
+    compute_dtype = value.dtype
+
+    v_hm = value.transpose(0, 2, 1, 3)          # [B, H, S, D]
+    starts = np.cumsum([0] + [h * w for h, w in spatial_shapes])[:-1]
+    # per-level 2D views for rectangular dynamic slices
+    v_2d = [jax.lax.slice_in_dim(v_hm, starts[l], starts[l] + h * w, axis=2)
+            .reshape(B, nH, h, w, D)
+            for l, (h, w) in enumerate(spatial_shapes)]
+
+    nby, nbx = -(-hs // bh), -(-ws_ // bw)
+    hp, wp = nby * bh, nbx * bw
+
+    def to_blocks(a):
+        """[B, Sseg, ...] -> [nblocks, B, bh*bw, ...] (zero-padded)."""
+        a = a.reshape(B, hs, ws_, *a.shape[2:])
+        a = jnp.pad(a, [(0, 0), (0, hp - hs), (0, wp - ws_)]
+                    + [(0, 0)] * (a.ndim - 3))
+        a = a.reshape(B, nby, bh, nbx, bw, *a.shape[3:])
+        a = a.transpose(1, 3, 0, 2, 4, *range(5, a.ndim))
+        return a.reshape(nby * nbx, B, bh * bw, *a.shape[5:])
+
+    loc_b = to_blocks(sampling_locations)    # [NB, B, C, H, L, P, 2]
+    attn_b = to_blocks(attention_weights)    # [NB, B, C, H, L, P]
+    # padded queries: zero weight so they contribute nothing (their ids
+    # still come from padded loc=0 -> harmless once weighted zero and
+    # excluded from the live-min by the weight test)
+    qmask = to_blocks(jnp.ones((1, Sseg, 1), jnp.float32)
+                      * jnp.ones((B, 1, 1), jnp.float32))  # [NB, B, C, 1]
+    attn_b = attn_b * qmask[..., None, None]
+
+    C = bh * bw
+
+    def sample_block(loc_c, attn_c):
+        """loc_c [B, C, H, L, P, 2], attn_c [B, C, H, L, P] ->
+        ([B, C, H*D] f32, overflow f32)."""
+        out = jnp.zeros((B, nH, C, D), jnp.float32)
+        overflow = jnp.zeros((), jnp.float32)
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            wy, wx = windows[lvl]
+            loc = loc_c[:, :, :, lvl]
+            attn = attn_c[:, :, :, lvl].astype(jnp.float32)
+            x = loc[..., 0].astype(jnp.float32) * w - 0.5
+            y = loc[..., 1].astype(jnp.float32) * h - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            ys_c, xs_c, wgt_c = [], [], []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    cw = ((1.0 - jnp.abs(fx - dx))
+                          * (1.0 - jnp.abs(fy - dy)))
+                    valid = ((x0 + dx >= 0) & (x0 + dx < w)
+                             & (y0 + dy >= 0) & (y0 + dy < h))
+                    xs_c.append(jnp.clip(x0 + dx, 0, w - 1)
+                                .astype(jnp.int32))
+                    ys_c.append(jnp.clip(y0 + dy, 0, h - 1)
+                                .astype(jnp.int32))
+                    wgt_c.append(cw * valid.astype(cw.dtype) * attn)
+            # [B, H, C, P*4] head-major taps
+            ys = jnp.stack(ys_c, -1).transpose(0, 2, 1, 3, 4) \
+                .reshape(B, nH, C, P * 4)
+            xs = jnp.stack(xs_c, -1).transpose(0, 2, 1, 3, 4) \
+                .reshape(B, nH, C, P * 4)
+            wgt = jnp.stack(wgt_c, -1).transpose(0, 2, 1, 3, 4) \
+                .reshape(B, nH, C, P * 4)
+
+            if wy:
+                live = wgt > 0
+                # unaligned starts: y is a major axis of the 2D slice and
+                # the window is flattened before the dot, so alignment
+                # would only waste margin budget (unlike the 1D path's
+                # 8-aligned flat offset)
+                y_lo = jnp.clip(
+                    jnp.min(jnp.where(live, ys, h), axis=(0, 1, 2, 3)),
+                    0, max(h - wy, 0))
+                x_lo = jnp.clip(
+                    jnp.min(jnp.where(live, xs, w), axis=(0, 1, 2, 3)),
+                    0, max(w - wx, 0))
+                ly = ys - y_lo
+                lx = xs - x_lo
+                inside = (ly >= 0) & (ly < wy) & (lx >= 0) & (lx < wx)
+                overflow = overflow + jnp.sum(
+                    jnp.where(live & ~inside, 1.0, 0.0))
+                width = wy * wx
+                ids_use = jnp.where(inside, ly * wx + lx, width)
+                wgt = jnp.where(inside, wgt, 0.0)
+                buf = jax.lax.dynamic_slice(
+                    v_2d[lvl], (0, 0, y_lo, x_lo, 0),
+                    (B, nH, wy, wx, D)).reshape(B, nH, width, D)
+            else:
+                width = h * w
+                ids_use = ys * w + xs
+                buf = v_2d[lvl].reshape(B, nH, width, D)
+
+            iota = jnp.arange(width, dtype=jnp.int32)
+            W = jnp.zeros((B, nH, C, width), jnp.float32)
+            for k in range(P * 4):
+                W = W + jnp.where(
+                    ids_use[..., k, None] == iota[None, None, None, :],
+                    wgt[..., k, None], 0.0)
+            prec = (None if buf.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGH)
+            part = jax.lax.dot_general(
+                W.astype(buf.dtype), buf,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                precision=prec,
+                preferred_element_type=jnp.float32)    # [B, H, C, D]
+            out = out + part
+        return out.transpose(0, 2, 1, 3).reshape(B, C, nH * D), overflow
+
+    block_fn = jax.checkpoint(sample_block)
+
+    def body(carry, inp):
+        lc, ac = inp
+        o, ov = block_fn(lc, ac)
+        return carry + ov, o
+
+    overflow, blocks_out = jax.lax.scan(
+        body, jnp.zeros((), jnp.float32), (loc_b, attn_b))
+    # [NB, B, C, HD] -> [B, hs, ws, HD]
+    o = blocks_out.reshape(nby, nbx, B, bh, bw, nH * D)
+    o = o.transpose(2, 0, 3, 1, 4, 5).reshape(B, hp, wp, nH * D)
+    out = o[:, :hs, :ws_].reshape(B, Sseg, nH * D)
+    return out.astype(compute_dtype), overflow
+
+
+def ms_deform_attn_windowed2d(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    query_segments: Sequence[int],
+    block_h: int = 8,
+    block_w: int = 20,
+    margin_px: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """2D-windowed P-merged sampling over per-level query segments
+    (drop-in for :func:`ms_deform_attn_windowed` with rectangular blocks).
+
+    Returns ``(out, overflow)`` with the same exactness contract: callers
+    must verify ``overflow == 0`` (taps outside their window are dropped).
+    """
+    assert sum(query_segments) == sampling_locations.shape[1], (
+        query_segments, sampling_locations.shape)
+    assert list(query_segments) == [h * w for h, w in spatial_shapes], (
+        "windowed2d requires the encoder's pixel-grid query segments",
+        query_segments, spatial_shapes)
+    blocks, wins = windowed2d_plan(spatial_shapes, block_h, block_w,
+                                   margin_px)
+    outs = []
+    overflow = jnp.zeros((), jnp.float32)
+    q0 = 0
+    for si, seg in enumerate(query_segments):
+        o, ov = ms_deform_attn_pmerged2d(
+            value, spatial_shapes,
+            jax.lax.slice_in_dim(sampling_locations, q0, q0 + seg, axis=1),
+            jax.lax.slice_in_dim(attention_weights, q0, q0 + seg, axis=1),
+            spatial_shapes[si], blocks[si], wins[si])
+        outs.append(o)
+        overflow = overflow + ov
+        q0 += seg
+    return jnp.concatenate(outs, 1), overflow
+
+
 def ms_deform_attn_packed(
     value: jax.Array,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -678,6 +923,7 @@ def temporal_deform_sample(
     onehot_max_s: int = 8192,
     query_segments: Sequence[int] | None = None,
     margin_px: int = 8,
+    block_hw: Tuple[int, int] = (8, 20),
 ) -> Tuple[jax.Array, jax.Array]:
     """Temporal multi-frame deformable attention with shared per-frame
     projections (the reference's weight-sharing structure, see module
@@ -696,9 +942,12 @@ def temporal_deform_sample(
         :func:`temporal_adjacency`.
       impl: "xla" (round-1 corner-expanded core), "pmerged" (exact
         point-merged one-hot, the round-2 default), "windowed" (pmerged with
-        per-segment contraction windows; needs ``query_segments`` — falls
-        back to pmerged otherwise), or "pallas".
-      query_segments: encoder per-level query counts (enables "windowed").
+        per-segment 1D contraction windows), "windowed2d" (rectangular
+        query blocks with 2D windows — less VPU select work; round 3) —
+        both need ``query_segments`` and fall back to pmerged otherwise —
+        or "pallas".
+      query_segments: encoder per-level query counts (enables windowing).
+      block_hw: (block_h, block_w) query-block rectangle for "windowed2d".
 
     Returns:
       ``(out [B, T1, Lq, H*D], overflow scalar)`` — overflow is the count of
@@ -745,7 +994,11 @@ def temporal_deform_sample(
         out, overflow = ms_deform_attn_windowed(
             v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
             margin_px=margin_px)
-    elif impl in ("pmerged", "windowed"):
+    elif impl == "windowed2d" and query_segments is not None:
+        out, overflow = ms_deform_attn_windowed2d(
+            v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
+            block_h=block_hw[0], block_w=block_hw[1], margin_px=margin_px)
+    elif impl in ("pmerged", "windowed", "windowed2d"):
         out = ms_deform_attn_pmerged(v_flat, spatial_shapes, loc_flat,
                                      attn_flat, query_chunk=query_chunk)
     else:

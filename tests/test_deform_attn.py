@@ -317,3 +317,81 @@ def test_windowed_small_segment_chunk_floor_exact():
         assert float(ov) == 0.0, bc
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_windowed2d_exact_on_grid_queries_and_overflow_counted():
+    """2D-windowed sampling (rectangular query blocks + rectangular
+    contraction windows): zero overflow + exact outputs for grid-local
+    queries; dropped taps counted when a location leaves its window."""
+    from snipper_tpu.ops.deform_attn import (ms_deform_attn_pmerged,
+                                             ms_deform_attn_windowed2d)
+
+    shapes = [(60, 80), (30, 40), (15, 20)]
+    sizes = [h * w for h, w in shapes]
+    s_tot = sum(sizes)
+    rng = np.random.default_rng(8)
+    value = rng.standard_normal((1, s_tot, 2, 4)).astype(np.float32)
+    refs = []
+    for (h, w) in shapes:
+        gy, gx = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)
+    loc = (ref[None, :, None, None, None, :]
+           + rng.uniform(-0.01, 0.01,
+                         (1, s_tot, 2, 3, 2, 2))).astype(np.float32)
+    attn = rng.uniform(0, 1, (1, s_tot, 2, 3, 2)).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_pmerged(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    for bh, bw in ((8, 20), (5, 10), (15, 16)):
+        got, ov = ms_deform_attn_windowed2d(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+            query_segments=sizes, block_h=bh, block_w=bw)
+        assert float(ov) == 0.0, (bh, bw)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5, err_msg=str((bh, bw)))
+
+    # teleport one level-0 tap across the map: counted as overflow
+    loc2 = loc.copy()
+    loc2[0, 5, 0, 0, 0] = [0.99, 0.99]
+    _, ov2 = ms_deform_attn_windowed2d(
+        jnp.asarray(value), shapes, jnp.asarray(loc2), jnp.asarray(attn),
+        query_segments=sizes)
+    assert float(ov2) > 0
+
+
+def test_windowed2d_margin_offsets_exact():
+    """Offsets up to ~(margin-1) px at every tap level stay inside the 2D
+    windows for every block shape — including the ragged-edge padded
+    blocks — and reproduce the exact path."""
+    from snipper_tpu.ops.deform_attn import (ms_deform_attn_pmerged,
+                                             ms_deform_attn_windowed2d)
+
+    shapes = [(60, 80), (30, 40), (15, 20)]
+    sizes = [h * w for h, w in shapes]
+    s_tot = sum(sizes)
+    rng = np.random.default_rng(3)
+    value = rng.standard_normal((1, s_tot, 2, 4)).astype(np.float32)
+    refs = []
+    for (h, w) in shapes:
+        gy, gx = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)
+    off_px = rng.uniform(-6.9, 6.9, (1, s_tot, 2, 3, 2, 2))
+    norm = np.array([(w, h) for h, w in shapes], np.float64)
+    loc = (ref[None, :, None, None, None, :]
+           + off_px / norm[None, None, None, :, None, :]).astype(np.float32)
+    attn = rng.uniform(0, 1, (1, s_tot, 2, 3, 2)).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_pmerged(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    # block 7x13 exercises ragged edges (60%7, 80%13 != 0)
+    for bh, bw in ((8, 20), (7, 13)):
+        got, ov = ms_deform_attn_windowed2d(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+            query_segments=sizes, block_h=bh, block_w=bw, margin_px=8)
+        assert float(ov) == 0.0, (bh, bw)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5, err_msg=str((bh, bw)))

@@ -49,6 +49,13 @@ def head_size(x1, y1, x2, y2) -> float:
     return 0.6 * float(np.linalg.norm([x2 - x1, y2 - y1]))
 
 
+def _nanmean(a: np.ndarray) -> float:
+    """nanmean without the all-NaN RuntimeWarning (joints with no GT)."""
+    a = np.asarray(a, np.float64)
+    ok = ~np.isnan(a)
+    return float(a[ok].mean()) if ok.any() else float("nan")
+
+
 def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
     """VOC-style AP: area under the precision envelope."""
     mrec = np.concatenate(([0.0], rec, [1.0]))
@@ -180,7 +187,7 @@ def compute_ap(all_scores, all_labels, all_ngt) -> Dict[str, np.ndarray]:
         pre[j] = precision[-1] * 100
         rec[j] = recall[-1] * 100
     for arr in (ap, pre, rec):
-        arr[J] = np.nanmean(arr[:J])
+        arr[J] = _nanmean(arr[:J])
     return {"ap": ap, "pre": pre, "rec": rec}
 
 
@@ -283,7 +290,7 @@ def evaluate_tracking(gt_frames: List[Frame], pred_frames: List[Frame],
     out = {}
     for key in ("mota", "motp", "pre", "rec"):
         vals = np.array([accs[j].metrics[key] for j in range(J)])
-        out[key] = np.append(vals, np.nanmean(vals))
+        out[key] = np.append(vals, _nanmean(vals))
     return out
 
 
@@ -302,7 +309,7 @@ def evaluate_pckh(gt_frames: List[Frame], pred_frames: List[Frame],
         total[:len(n)] += n
     with np.errstate(invalid="ignore", divide="ignore"):
         vals = 100.0 * correct / np.where(total > 0, total, np.nan)
-    return {"pckh": np.append(vals, np.nanmean(vals))}
+    return {"pckh": np.append(vals, _nanmean(vals))}
 
 
 def evaluate_ap(gt_frames: List[Frame], pred_frames: List[Frame],

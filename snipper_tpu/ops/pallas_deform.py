@@ -168,3 +168,217 @@ def ms_deform_attn_pallas(
         part = part[:, :R].reshape(B, nH, Lq, P, D).sum(3)
         out = out + part.transpose(0, 2, 1, 3).reshape(B, Lq, nH * D)
     return out.astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: windowed 2D P-merged kernel (the VERDICT-r2 scalar-window avenue)
+# ---------------------------------------------------------------------------
+# The XLA windowed paths are VPU-select-bound at ~16 taps x rows x window
+# elements; 2D windows cut the width 2-4x but XLA's per-chunk scan overhead
+# eats the win (probe18: best 2D 19.3 ms vs 1D 16.4 at encoder scale).
+# Here the per-block work runs as ONE pallas grid step (overhead ~0), with
+# value windows staged in HBM by XLA dynamic slices and auto-pipelined into
+# VMEM by Mosaic, and the P-merged one-hot built in VMEM feeding the MXU.
+# Equivalent of the fused CUDA forward's locality
+# (reference models/ops/src/cuda/ms_deform_im2col_cuda.cuh:237-299).
+
+
+def _win2d_kernel_factory(n_levels: int):
+    def kernel(*refs):
+        # refs: win_l x L, ids_l x L, wgt_l x L, out
+        wins = refs[:n_levels]
+        ids = refs[n_levels:2 * n_levels]
+        wgts = refs[2 * n_levels:3 * n_levels]
+        out_ref = refs[-1]
+        C = out_ref.shape[2]
+        D = out_ref.shape[3]
+        acc = jnp.zeros((C, D), jnp.float32)
+        for l in range(n_levels):
+            win = wins[l][0, 0]                  # [Wd, D]
+            id_l = ids[l][0, 0]                  # [C, 16]
+            wg_l = wgts[l][0, 0]                 # [C, 16]
+            Wd = win.shape[0]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (C, Wd), 1)
+            W = jnp.zeros((C, Wd), jnp.float32)
+            for k in range(id_l.shape[1]):
+                W = W + jnp.where(id_l[:, k:k + 1] == lane,
+                                  wg_l[:, k:k + 1], 0.0)
+            prec = (None if win.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
+            acc = acc + jax.lax.dot_general(
+                W.astype(win.dtype), win,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+        out_ref[0, 0] = acc
+
+    return kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _win2d_segment(value_2d, spatial_shapes, loc, attn, seg_shape, block,
+                   windows, interpret):
+    """One query segment through the Pallas 2D-window kernel.
+
+    value_2d: per level [BH, h, w, D]. loc/attn: [B, S_seg, H, L, P, ...].
+    Returns (out [B, S_seg, H*D], overflow).
+    """
+    B, Sseg, nH, L, P, _ = loc.shape
+    D = value_2d[0].shape[-1]
+    BH = B * nH
+    hs, ws_ = seg_shape
+    bh, bw = block
+    nby, nbx = -(-hs // bh), -(-ws_ // bw)
+    NB = nby * nbx
+    hp, wp = nby * bh, nbx * bw
+    C = bh * bw
+    Cp = _round_up(C, 8)
+    vdtype = value_2d[0].dtype
+
+    def to_blocks(a):
+        """[B, Sseg, ...] -> [B, NB, C, ...] zero-padded."""
+        a = a.reshape(B, hs, ws_, *a.shape[2:])
+        a = jnp.pad(a, [(0, 0), (0, hp - hs), (0, wp - ws_)]
+                    + [(0, 0)] * (a.ndim - 3))
+        a = a.reshape(B, nby, bh, nbx, bw, *a.shape[3:])
+        a = a.transpose(0, 1, 3, 2, 4, *range(5, a.ndim))
+        return a.reshape(B, NB, C, *a.shape[5:])
+
+    loc_b = to_blocks(loc)          # [B, NB, C, H, L, P, 2]
+    attn_b = to_blocks(attn)        # [B, NB, C, H, L, P]
+
+    win_bufs, ids_bufs, wgt_bufs = [], [], []
+    overflow = jnp.zeros((), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        wy, wx = windows[lvl]
+        if not wy:                  # disabled plan window: whole level
+            wy, wx = h, w
+        wy, wx = min(wy, h), min(wx, w)
+        lo = loc_b[:, :, :, :, lvl]                        # [B,NB,C,H,P,2]
+        at = attn_b[:, :, :, :, lvl].astype(jnp.float32)   # [B,NB,C,H,P]
+        x = lo[..., 0].astype(jnp.float32) * w - 0.5
+        y = lo[..., 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        ys_c, xs_c, wgt_c = [], [], []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cw = (1.0 - jnp.abs(fx - dx)) * (1.0 - jnp.abs(fy - dy))
+                valid = ((x0 + dx >= 0) & (x0 + dx < w)
+                         & (y0 + dy >= 0) & (y0 + dy < h))
+                xs_c.append(jnp.clip(x0 + dx, 0, w - 1).astype(jnp.int32))
+                ys_c.append(jnp.clip(y0 + dy, 0, h - 1).astype(jnp.int32))
+                wgt_c.append(cw * valid.astype(cw.dtype) * at)
+        ys = jnp.stack(ys_c, -1)            # [B, NB, C, H, P, 4]
+        xs = jnp.stack(xs_c, -1)
+        wg = jnp.stack(wgt_c, -1)
+        live = wg > 0
+        # window anchor per block, shared over (B, H): min live tap
+        y_lo = jnp.clip(jnp.min(jnp.where(live, ys, h), axis=(0, 2, 3, 4, 5)),
+                        0, max(h - wy, 0))                 # [NB]
+        x_lo = jnp.clip(jnp.min(jnp.where(live, xs, w), axis=(0, 2, 3, 4, 5)),
+                        0, max(w - wx, 0))
+        ly = ys - y_lo[None, :, None, None, None, None]
+        lx = xs - x_lo[None, :, None, None, None, None]
+        inside = (ly >= 0) & (ly < wy) & (lx >= 0) & (lx < wx)
+        overflow = overflow + jnp.sum(jnp.where(live & ~inside, 1.0, 0.0))
+        Wd = _round_up(wy * wx + 1, 128)
+        ids_use = jnp.where(inside, ly * wx + lx, wy * wx)  # dead -> pad row
+        wg = jnp.where(inside, wg, 0.0)
+        # [B, NB, C, H, P4] -> [NB, BH, Cp, 16]
+        ids_use = ids_use.reshape(B, NB, C, nH, P * 4) \
+            .transpose(1, 0, 3, 2, 4).reshape(NB, BH, C, P * 4)
+        wg = wg.reshape(B, NB, C, nH, P * 4) \
+            .transpose(1, 0, 3, 2, 4).reshape(NB, BH, C, P * 4)
+        if Cp != C:
+            ids_use = jnp.pad(ids_use, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+            wg = jnp.pad(wg, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+        ids_bufs.append(ids_use)
+        wgt_bufs.append(wg)
+
+        # stage value windows: [NB, BH, Wd, D] (zero-padded beyond wy*wx)
+        v = value_2d[lvl]                                   # [BH, h, w, D]
+
+        def slice_one(args, v=v, wy=wy, wx=wx):
+            yl, xl = args
+            return jax.lax.dynamic_slice(
+                v, (0, yl, xl, 0), (BH, wy, wx, D))
+
+        wins = jax.lax.map(slice_one, (y_lo, x_lo))         # [NB,BH,wy,wx,D]
+        wins = wins.reshape(NB, BH, wy * wx, D)
+        wins = jnp.pad(wins, ((0, 0), (0, 0), (0, Wd - wy * wx), (0, 0)))
+        win_bufs.append(wins)
+
+    grid = (NB, BH)
+    in_specs = (
+        [pl.BlockSpec((1, 1, wb.shape[2], D), lambda i, j: (i, j, 0, 0),
+                      memory_space=pltpu.VMEM) for wb in win_bufs]
+        + [pl.BlockSpec((1, 1, Cp, P * 4), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)] * (2 * L)
+    )
+    out = pl.pallas_call(
+        _win2d_kernel_factory(L),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Cp, D), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, BH, Cp, D), jnp.float32),
+        interpret=interpret,
+    )(*win_bufs, *ids_bufs, *wgt_bufs)
+
+    # [NB, BH, Cp, D] -> [B, Sseg, H*D]
+    o = out[:, :, :C].reshape(nby, nbx, B, nH, bh, bw, D)
+    o = o.transpose(2, 0, 4, 1, 5, 3, 6).reshape(B, hp, wp, nH * D)
+    o = o[:, :hs, :ws_].reshape(B, Sseg, nH * D)
+    return o.astype(vdtype), overflow
+
+
+def ms_deform_attn_windowed2d_pallas(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    query_segments: Sequence[int],
+    block_h: int = 8,
+    block_w: int = 20,
+    margin_px: int = 8,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pallas 2D-windowed P-merged sampling over per-level query segments.
+
+    Drop-in for ``ms_deform_attn_windowed2d`` (same exactness contract:
+    verify ``overflow == 0``); forward-only — differentiating it raises
+    (production training uses the exact ``xla`` impl).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from snipper_tpu.ops.deform_attn import windowed2d_plan
+
+    assert sum(query_segments) == sampling_locations.shape[1]
+    assert list(query_segments) == [h * w for h, w in spatial_shapes]
+    blocks, wins = windowed2d_plan(spatial_shapes, block_h, block_w,
+                                   margin_px)
+    B, S, nH, D = value.shape
+    v_hm = value.transpose(0, 2, 1, 3).reshape(B * nH, S, D)
+    starts = np.cumsum([0] + [h * w for h, w in spatial_shapes])[:-1]
+    value_2d = [jax.lax.slice_in_dim(v_hm, starts[l], starts[l] + h * w,
+                                     axis=1).reshape(B * nH, h, w, D)
+                for l, (h, w) in enumerate(spatial_shapes)]
+
+    outs = []
+    overflow = jnp.zeros((), jnp.float32)
+    q0 = 0
+    for si, seg in enumerate(query_segments):
+        o, ov = _win2d_segment(
+            value_2d, spatial_shapes,
+            jax.lax.slice_in_dim(sampling_locations, q0, q0 + seg, axis=1),
+            jax.lax.slice_in_dim(attention_weights, q0, q0 + seg, axis=1),
+            spatial_shapes[si], blocks[si], wins[si], interpret)
+        outs.append(o)
+        overflow = overflow + ov
+        q0 += seg
+    return jnp.concatenate(outs, 1), overflow

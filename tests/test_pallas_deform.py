@@ -37,3 +37,49 @@ def test_pallas_large_level_above_old_cap():
     a = np.asarray(ms_deform_attn_core(v, shapes, loc, w))
     b = np.asarray(ms_deform_attn_pallas(v, shapes, loc, w))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_windowed2d_pallas_matches_pmerged():
+    """Round-3 Pallas 2D-window kernel (interpret mode on CPU): exact vs the
+    XLA point-merged reference on encoder-style grid queries, overflow
+    counted when taps leave the window."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snipper_tpu.ops.deform_attn import ms_deform_attn_pmerged
+    from snipper_tpu.ops.pallas_deform import ms_deform_attn_windowed2d_pallas
+
+    shapes = [(24, 32), (12, 16), (6, 8)]
+    sizes = [h * w for h, w in shapes]
+    s_tot = sum(sizes)
+    rng = np.random.default_rng(0)
+    value = rng.standard_normal((1, s_tot, 2, 4)).astype(np.float32)
+    refs = []
+    for (h, w) in shapes:
+        gy, gx = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)
+    off = rng.uniform(-3.9, 3.9, (1, s_tot, 2, 3, 2, 2))
+    norm = np.array([(w, h) for h, w in shapes], np.float64)
+    loc = (ref[None, :, None, None, None, :]
+           + off / norm[None, None, None, :, None, :]).astype(np.float32)
+    attn = rng.uniform(0, 1, (1, s_tot, 2, 3, 2)).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_pmerged(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    for bh, bw in ((6, 8), (5, 7)):
+        got, ov = ms_deform_attn_windowed2d_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+            query_segments=sizes, block_h=bh, block_w=bw, margin_px=5)
+        assert float(ov) == 0.0, (bh, bw)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5, err_msg=str((bh, bw)))
+
+    # teleported tap -> overflow counted
+    loc2 = loc.copy()
+    loc2[0, 5, 0, 0, 0] = [0.97, 0.97]
+    _, ov2 = ms_deform_attn_windowed2d_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(loc2), jnp.asarray(attn),
+        query_segments=sizes, block_h=6, block_w=8, margin_px=5)
+    assert float(ov2) > 0

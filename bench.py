@@ -57,33 +57,29 @@ def main():
         0, 1, (1, cfg.num_frames, cfg.input_height, cfg.input_width, 3)),
         jnp.bfloat16)
 
-    # margin cascade: windows sized for max |offset| + 1 of 4 px (the
-    # offset-bias init bound), widened to 8, then the exact full-width
-    # path — the first config whose runtime overflow counter reads ZERO is
-    # exact and is what gets timed
-    impl = "windowed(m=5)"
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-    out = fwd(params_bf16, x)
+    # margin cascade via the production guard: windows sized for
+    # max |offset| + 1 of 4 px (the offset-bias init bound), widened to 8,
+    # then the exact full-width path — the first config whose runtime
+    # overflow counter reads ZERO is exact and is what gets timed
+    from snipper_tpu.infer.pipeline import ExactnessGuard
+
+    def build(c):
+        m, _ = init_model(c, jax.random.PRNGKey(0))
+        jitted = jax.jit(lambda xx: m.apply({"params": params_bf16}, xx))
+        return jitted
+
+    guard = ExactnessGuard(cfg, build)
+    out = guard(x)
     overflow = float(np.asarray(out["sampling_overflow"]))
-    if overflow > 0:
-        impl = "windowed(m=8)"
-        cfg = cfg.replace(sampling_margin=8)
-        model, _ = init_model(cfg, jax.random.PRNGKey(0))
-        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        out = fwd(params_bf16, x)
-        overflow = float(np.asarray(out["sampling_overflow"]))
-    if overflow > 0:
-        # windows too tight for these weights: fall back to the exact path
-        impl = "pmerged"
-        cfg = cfg.replace(deform_impl="pmerged")
-        model, _ = init_model(cfg, jax.random.PRNGKey(0))
-        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        out = fwd(params_bf16, x)
+    cfg = guard.cfg
+    impl = (f"windowed(m={cfg.sampling_margin})"
+            if cfg.deform_impl == "windowed" else cfg.deform_impl)
+    fwd = guard.forward
     np.asarray(out["pred_logits"][..., :1].astype(jnp.float32))
 
     K = 10
     t0 = time.perf_counter()
-    outs = [fwd(params_bf16, x)["pred_logits"] for _ in range(K)]
+    outs = [fwd(x)["pred_logits"] for _ in range(K)]
     np.asarray(outs[-1][..., :1].astype(jnp.float32))
     sps = K / (time.perf_counter() - t0)
 

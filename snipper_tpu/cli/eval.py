@@ -66,9 +66,6 @@ def main():
                       if args.save_vis else None))
     results = stats.pop("_results", [])
 
-    with open(os.path.join(args.output_dir, "eval_stats.json"), "w") as f:
-        json.dump({k: v for k, v in stats.items()}, f, indent=2)
-
     if args.write_posetrack:
         from snipper_tpu.eval.posetrack_writer import (
             collect_posetrack_results, write_val_results)
@@ -103,6 +100,12 @@ def main():
                           evaluate_coco_keypoints(args.coco_gt_json,
                                                   pred_json).items()})
 
+    # one stats file carrying the 3D metrics AND the harness numbers
+    # (PoseTrack AP/PCKh/MOT, COCO OKS) — reference eval.py prints these at
+    # the end of the run (eval.py:261-271)
+    with open(os.path.join(args.output_dir, "eval_stats.json"), "w") as f:
+        json.dump({k: v for k, v in stats.items()
+                   if isinstance(v, (int, float))}, f, indent=2)
     print(json.dumps({k: round(v, 4) for k, v in stats.items()
                       if isinstance(v, float)}, indent=2))
 

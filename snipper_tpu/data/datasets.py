@@ -89,8 +89,8 @@ class HybridDataset:
         train = self.mode == "train"
         if self.posetrack_dir:
             self._list_posetrack(train)
-        if self.coco_dir and train:
-            self._list_coco()
+        if self.coco_dir:
+            self._list_coco(train)
         if self.muco_dir and train:
             self._list_muco()
         if self.muco_dir and not train:
@@ -143,11 +143,18 @@ class HybridDataset:
                         self.samples.append(
                             ("posetrack", fn, i, val_gap, False))
 
-    def _list_coco(self):
-        with open(os.path.join(self.coco_dir, "coco_train.pkl"), "rb") as f:
+    def _list_coco(self, train: bool = True):
+        """Train: fake-motion augmented stills. Val: the COCO keypoint
+        eval split (reference ``write_val_results_coco`` /
+        ``hybrid_dataloader.py:1876-1915`` flow), unaugmented."""
+        name = "coco_train.pkl" if train else "coco_val.pkl"
+        path = os.path.join(self.coco_dir, name)
+        if not train and not os.path.exists(path):
+            return  # train-only COCO setup (the reference's common case)
+        with open(path, "rb") as f:
             self.coco_data = pickle.load(f)
         for i in range(len(self.coco_data)):
-            self.samples.append(("coco", i, True))
+            self.samples.append(("coco", i, train))
 
     def _list_muco(self):
         with open(os.path.join(self.muco_dir, "MuCo-3DHP.pkl"), "rb") as f:
@@ -279,7 +286,8 @@ class HybridDataset:
         kpts2d = np.asarray(datum["kpts2d"])[:, COCO_TO_JOINT15, :]
         img = _read_rgb(os.path.join(self.coco_dir, datum["filename"]))
         return self._fake_motion_sample(img, kpts2d, None, augment,
-                                        "coco", datum["filename"], idx)
+                                        "coco", datum["filename"],
+                                        datum.get("image_id", idx))
 
     # -- muco (still composite with 3D) ---------------------------------
     def get_muco(self, sample) -> Dict:

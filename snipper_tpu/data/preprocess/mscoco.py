@@ -45,7 +45,8 @@ def extract(dataset_path: str, out_path: str, subset: str = "train"):
         if k15[:, 2].sum() == 0:
             continue
         name = f"{subset}2017/{imgs[ann['image_id']]['file_name']}"
-        per_image.setdefault(name, {"bboxes": [], "kpts2d": []})
+        per_image.setdefault(name, {"bboxes": [], "kpts2d": [],
+                                    "image_id": ann["image_id"]})
         per_image[name]["bboxes"].append(np.asarray(ann["bbox"], np.float64))
         per_image[name]["kpts2d"].append(k15)
 
@@ -58,6 +59,7 @@ def extract(dataset_path: str, out_path: str, subset: str = "train"):
         b[:, 2] = np.minimum(b[:, 2], w)
         b[:, 3] = np.minimum(b[:, 3], h)
         records.append({"filename": name, "width": w, "height": h,
+                        "image_id": v["image_id"],
                         "bboxes": b, "kpts2d": np.stack(v["kpts2d"])})
 
     os.makedirs(out_path, exist_ok=True)

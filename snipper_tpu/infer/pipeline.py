@@ -308,6 +308,12 @@ class ExactnessGuard:
         self._fwd = build(cfg)
         self.overflow_events = 0
 
+    @property
+    def forward(self):
+        """The current (post-cascade) jitted forward — for callers that
+        time raw calls without the per-call overflow readback."""
+        return self._fwd
+
     def __call__(self, imgs):
         out = self._fwd(imgs)
         while self.cfg.deform_impl == "windowed" and \

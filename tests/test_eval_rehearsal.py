@@ -86,7 +86,36 @@ def _mupots_raw(root, n_frames=40):
         json.dump({"images": images, "annotations": annotations}, f)
 
 
+def _coco_raw(root, n_images=3):
+    """Reference-format COCO person_keypoints_val2017 annotations + images.
+    Hips and shoulders visible so the root/neck synthesis works."""
+    rng = np.random.default_rng(5)
+    images, annotations = [], []
+    aid = 1
+    for i in range(n_images):
+        fn = f"{i:012d}.jpg"
+        _img(str(root / "val2017" / fn))
+        images.append({"id": 100 + i, "file_name": fn,
+                       "width": 160, "height": 120})
+        for _ in range(2):
+            k = np.concatenate([rng.uniform(20, 140, (17, 2)),
+                                np.full((17, 1), 2.0)], 1)
+            annotations.append({
+                "image_id": 100 + i, "id": aid, "category_id": 1,
+                "keypoints": k.reshape(-1).tolist(), "num_keypoints": 17,
+                "bbox": [20.0, 20.0, 60.0, 80.0], "area": 4800.0,
+                "iscrowd": 0})
+            aid += 1
+    os.makedirs(root / "annotations", exist_ok=True)
+    gt_json = str(root / "annotations" / "person_keypoints_val2017.json")
+    with open(gt_json, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+    return gt_json
+
+
 def test_full_eval_flow_on_reference_format_files(tmp_path, monkeypatch):
+    from snipper_tpu.data.preprocess import mscoco as mscoco_pp
     from snipper_tpu.data.preprocess import mupots as mupots_pp
     from snipper_tpu.data.preprocess import posetrack as posetrack_pp
 
@@ -102,6 +131,12 @@ def test_full_eval_flow_on_reference_format_files(tmp_path, monkeypatch):
     mupots_pp.extract(str(mp_root), str(mp_root))
     assert os.path.exists(mp_root / "MuPoTS-3D.pkl")
 
+    coco_root = tmp_path / "coco"
+    os.makedirs(coco_root)
+    coco_gt = _coco_raw(coco_root)
+    mscoco_pp.extract(str(coco_root), str(coco_root), subset="val")
+    assert os.path.exists(coco_root / "coco_val.pkl")
+
     out = str(tmp_path / "out")
     from snipper_tpu.cli import eval as eval_cli
 
@@ -109,6 +144,7 @@ def test_full_eval_flow_on_reference_format_files(tmp_path, monkeypatch):
         "eval", "--preset", "tiny",
         "--posetrack_dir", str(pt_root),
         "--muco_dir", str(mp_root),
+        "--coco_dir", str(coco_root), "--coco_gt_json", coco_gt,
         "--write_posetrack", "--posetrack_gt_dir", gt_dir,
         "--save_vis", "--output_dir", out])
     eval_cli.main()
@@ -118,6 +154,12 @@ def test_full_eval_flow_on_reference_format_files(tmp_path, monkeypatch):
     for key in ("mpjpe_root", "mpjpe_joint", "pel_mpjpe_joint", "3dpck",
                 "pckh_root", "pckh_joint"):
         assert key in stats and np.isfinite(stats[key]), (key, stats)
+    # harness numbers made it into the stats file: PoseTrack AP/MOTA/PCKh
+    # tables and the COCO OKS summary (random model -> values near 0; the
+    # assertion is that the full disk flow produced them)
+    for key in ("posetrack_ap_ap", "posetrack_tracking_mota",
+                "posetrack_pckh_pckh", "coco_AP"):
+        assert any(k.startswith(key) for k in stats), (key, sorted(stats))
 
     # writer produced the per-video prediction JSON the harness consumed
     pred = os.path.join(out, "posetrack_results", "000001_x.json")

@@ -89,7 +89,8 @@ def main():
         state, train_stats = train_one_epoch(
             step, state, train_loader, epoch, rng, lr_fn=lr_fn,
             put_batch=lambda b: shard_batch(b, mesh),
-            stop_flag=lambda: guard.should_stop)
+            stop_flag=lambda: guard.should_stop,
+            max_steps=args.steps_per_epoch)
         ckpt = save_checkpoint(os.path.join(args.output_dir, "ckpts"),
                                {"params": state.params,
                                 "opt_state": state.opt_state,

@@ -31,7 +31,10 @@ def _to_device_batch(batch: Dict) -> Dict:
 
 def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
                     print_freq: int = 10, lr_fn=None,
-                    put_batch=None, stop_flag=None) -> tuple:
+                    put_batch=None, stop_flag=None,
+                    max_steps: Optional[int] = None) -> tuple:
+    """``max_steps``: truncate the epoch after N steps (smoke runs; the
+    full loader length is used when None)."""
     logger = MetricLogger()
     header = f"Epoch: [{epoch}]"
     iterable = loader
@@ -44,6 +47,8 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             (_to_device_batch(b) for b in loader), put_batch)
     for i, batch in enumerate(logger.log_every(iterable, print_freq,
                                                header)):
+        if max_steps is not None and i >= max_steps:
+            break
         if stop_flag is not None and stop_flag():
             print("preemption signal received — stopping epoch early",
                   flush=True)

@@ -92,7 +92,10 @@ def main():
 
     # ---- full step ----------------------------------------------------------
     state, tx = create_train_state(cfg, params, steps_per_epoch=100)
-    step = make_train_step(model, crit, tx, donate=False)
+    # explicit f32: this probe's BASELINE.md record predates the round-3
+    # mixed_precision=True default flip — keep it re-runnable as measured
+    step = make_train_step(model, crit, tx, donate=False,
+                           mixed_precision=False)
     bench(lambda s, b, r: step(s, b, r)[1]["loss_total"], state, batch, rng,
           label="full train step")
     print("DONE", flush=True)

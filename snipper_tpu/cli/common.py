@@ -55,6 +55,10 @@ def add_data_args(parser: argparse.ArgumentParser):
     parser.add_argument("--pretrained_torch", type=str, default=None,
                         help="path to a reference .pth checkpoint to import")
     parser.add_argument("--steps_per_epoch", type=int, default=None)
+    parser.add_argument("--num_workers", type=int, default=2,
+                        help="threads decoding/warping a batch's samples in "
+                             "parallel (the torch num_workers role; image "
+                             "decode releases the GIL). 0 = inline")
 
 
 def build_config(args) -> Config:

@@ -49,7 +49,7 @@ def main():
 
     val_ds = build_dataset(cfg, args, "val")
     loader = DataLoader(val_ds, cfg.batch_size, shuffle=False,
-                        drop_last=False)
+                        drop_last=False, num_workers=args.num_workers)
 
     model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
     if args.pretrained_torch:
@@ -65,6 +65,16 @@ def main():
         save_vis_dir=(os.path.join(args.output_dir, "eval_vis")
                       if args.save_vis else None))
     results = stats.pop("_results", [])
+
+    def dump_stats():
+        with open(os.path.join(args.output_dir, "eval_stats.json"),
+                  "w") as f:
+            json.dump({k: v for k, v in stats.items()
+                       if isinstance(v, (int, float))}, f, indent=2)
+
+    # persist the 3D/loss/PCKh stats BEFORE the harness legs so a harness
+    # failure (malformed GT dir etc.) cannot lose a long eval run
+    dump_stats()
 
     if args.write_posetrack:
         from snipper_tpu.eval.posetrack_writer import (
@@ -87,25 +97,28 @@ def main():
         from snipper_tpu.eval.coco_eval import (evaluate_coco_keypoints,
                                                 write_coco_results)
 
+        from snipper_tpu.eval.metrics import transform_pts
+
         coco_results = {}
         for r in results:
             if r.get("dataset") == "coco":
+                # predictions are in warped model-input space; the GT json
+                # is in ORIGINAL image pixels — inverse-transform first
+                # (same as the PCKh path, reference engine.py:444-511)
+                k = transform_pts(np.asarray(r["pred_kpts"])[:, 0],
+                                  r["inv_trans"])
                 coco_results.setdefault(r["image_id"], []).append(
                     (np.asarray(r["human_score"]).max(-1),
-                     np.concatenate([r["pred_kpts"][:, 0],
-                                     r["pred_kpt_scores"][:, 0]], -1)))
+                     np.concatenate([k, r["pred_kpt_scores"][:, 0]], -1)))
         if coco_results:
             pred_json = write_coco_results(coco_results, args.output_dir)
             stats.update({f"coco_{k}": v for k, v in
                           evaluate_coco_keypoints(args.coco_gt_json,
                                                   pred_json).items()})
 
-    # one stats file carrying the 3D metrics AND the harness numbers
-    # (PoseTrack AP/PCKh/MOT, COCO OKS) — reference eval.py prints these at
-    # the end of the run (eval.py:261-271)
-    with open(os.path.join(args.output_dir, "eval_stats.json"), "w") as f:
-        json.dump({k: v for k, v in stats.items()
-                   if isinstance(v, (int, float))}, f, indent=2)
+    # rewrite with the harness numbers included (PoseTrack AP/PCKh/MOT,
+    # COCO OKS) — reference eval.py prints these at the end (eval.py:261-271)
+    dump_stats()
     print(json.dumps({k: round(v, 4) for k, v in stats.items()
                       if isinstance(v, float)}, indent=2))
 

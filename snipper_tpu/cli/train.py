@@ -53,8 +53,9 @@ def main():
     # (DistributedSampler role); shard_batch assembles the global array.
     local_batch = cfg.batch_size * max(jax.local_device_count(), 1)
     train_loader = DataLoader(train_ds, local_batch, shuffle=True,
-                              seed=cfg.seed)
-    val_loader = DataLoader(val_ds, local_batch, shuffle=False)
+                              seed=cfg.seed, num_workers=args.num_workers)
+    val_loader = DataLoader(val_ds, local_batch, shuffle=False,
+                            num_workers=args.num_workers)
     steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
 
     model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))

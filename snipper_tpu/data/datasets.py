@@ -67,7 +67,17 @@ class HybridDataset:
         self.max_depth = cfg.max_depth
         self.seq_min_gap = 1 if cfg.num_frames == 1 else cfg.seq_min_gap
         self.seq_max_gap = cfg.seq_max_gap
-        self.rng = np.random.default_rng(seed)
+        # augmentation randomness is per-(seed, epoch, sample): derived in
+        # __getitem__ and held in thread-local storage so the loader's
+        # decode thread pool (num_workers > 0) never shares a Generator —
+        # numpy Generators are not thread-safe — and every sample's
+        # augmentation stream is reproducible independent of worker count
+        # or iteration order
+        import threading
+
+        self._seed = seed
+        self._epoch = 0
+        self._tls = threading.local()
 
         self.posetrack_dir = posetrack_dir
         self.coco_dir = coco_dir
@@ -153,6 +163,14 @@ class HybridDataset:
             return  # train-only COCO setup (the reference's common case)
         with open(path, "rb") as f:
             self.coco_data = pickle.load(f)
+        if not train and self.coco_data and \
+                "image_id" not in self.coco_data[0]:
+            # the OKS harness matches predictions to GT by COCO image id;
+            # silently falling back to enumeration indices would score ~0
+            raise ValueError(
+                f"{path} lacks 'image_id' fields — regenerate it with "
+                "snipper_tpu.data.preprocess.mscoco (the val-eval leg "
+                "needs real COCO image ids)")
         for i in range(len(self.coco_data)):
             self.samples.append(("coco", i, train))
 
@@ -199,7 +217,21 @@ class HybridDataset:
     def __len__(self):
         return len(self.samples)
 
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    @property
+    def rng(self) -> np.random.Generator:
+        """Per-(sample, thread) generator installed by ``__getitem__``."""
+        rng = getattr(self._tls, "rng", None)
+        if rng is None:  # direct getter calls outside __getitem__
+            rng = np.random.default_rng(self._seed)
+            self._tls.rng = rng
+        return rng
+
     def __getitem__(self, idx: int) -> Dict:
+        self._tls.rng = np.random.default_rng(
+            np.random.SeedSequence([self._seed, self._epoch, idx]))
         s = self.samples[idx]
         getter = getattr(self, f"get_{s[0]}")
         return getter(s)

@@ -64,6 +64,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # fresh per-epoch aug streams
 
     def _indices(self):
         """This process's index shard for the current epoch."""
@@ -80,6 +82,20 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancelled = threading.Event()  # consumer abandoned the iterator
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone —
+            otherwise an early ``break`` mid-epoch (max_steps, preemption)
+            leaks this thread blocked on the full queue plus its staged
+            batches, every epoch."""
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             pool = None
@@ -91,6 +107,8 @@ class DataLoader:
                 idx = self._indices()
                 nb = len(self)
                 for b in range(nb):
+                    if cancelled.is_set():
+                        break
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     if len(sel) < self.batch_size and self.drop_last:
                         break
@@ -100,23 +118,29 @@ class DataLoader:
                             [int(i) for i in sel]))
                     else:
                         samples = [self.dataset[int(i)] for i in sel]
-                    q.put(stack_batch(samples))
+                    if not put(stack_batch(samples)):
+                        break
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put(e)
             finally:
                 if pool is not None:
                     pool.shutdown(wait=False)
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on normal exhaustion AND on GeneratorExit when the
+            # consumer breaks early: release the producer
+            cancelled.set()
 
 
 def device_prefetch(iterator: Iterator[Dict], put) -> Iterator[Dict]:

@@ -379,8 +379,26 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
                 np.zeros((0, J, 3)), np.zeros(0, np.int64), seq=name)))
     out = {}
     if eval_pose:
-        out["ap"] = evaluate_ap(gt_frames, pr_frames)
-        out["pckh"] = evaluate_pckh(gt_frames, pr_frames)
+        # ONE assignment pass serves both the AP and PCKh tables (the
+        # O(n_pr * n_gt * J) assignment is the cost; mot["pckh"] exists so
+        # it need not be recomputed)
+        J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size),
+                default=15)
+        all_s, all_l, all_n = [], [], []
+        correct = np.zeros(J, np.int64)
+        total = np.zeros(J, np.int64)
+        for g, p in zip(gt_frames, pr_frames):
+            s, l, n, mot = assign_frame(g, p)
+            all_s.append(s)
+            all_l.append(l)
+            all_n.append(n)
+            c, t = mot["pckh"]
+            correct[:len(c)] += c
+            total[:len(t)] += t
+        out["ap"] = compute_ap(all_s, all_l, all_n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = 100.0 * correct / np.where(total > 0, total, np.nan)
+        out["pckh"] = {"pckh": np.append(vals, _nanmean(vals))}
     if eval_tracking:
         out["tracking"] = evaluate_tracking(gt_frames, pr_frames)
     return out

@@ -144,3 +144,78 @@ def test_device_prefetch_order_and_completeness():
                                lambda x: (seen.append(x), x * 10)[1]))
     assert out == [0, 10, 20, 30, 40, 50, 60]
     assert seen == list(range(7))
+
+
+def test_early_break_releases_worker_thread():
+    """Abandoning the iterator mid-epoch (max_steps, preemption) must not
+    leak the producer thread blocked on the bounded queue."""
+    import threading
+    import time
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.data.loader import DataLoader
+    from snipper_tpu.data.synthetic import SyntheticDataset
+
+    cfg = Config.tiny()
+    loader = DataLoader(SyntheticDataset(cfg, n_samples=32), 2,
+                        shuffle=False, prefetch=1,
+                        process_index=0, process_count=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # what an early `break` does via GeneratorExit
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        "loader worker thread leaked after early break")
+
+
+def test_num_workers_deterministic_and_thread_safe(tmp_path):
+    """Multi-threaded sample decode must produce byte-identical batches to
+    single-threaded iteration (per-sample generators; numpy Generators are
+    not thread-safe when shared)."""
+    import pickle
+
+    import numpy as np
+    from PIL import Image
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.data.datasets import HybridDataset
+    from snipper_tpu.data.loader import DataLoader
+
+    root = tmp_path / "pt"
+    rng = np.random.default_rng(1)
+    seq = []
+    for i in range(16):
+        fn = f"images/val/000001_x/{i:06d}.jpg"
+        p = root / fn
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (96, 128, 3),
+                                     dtype=np.int64).astype("uint8")
+                        ).save(p)
+        kpts = rng.uniform(10, 80, (2, 18, 3))
+        kpts[..., 2] = 1.0
+        seq.append({"filename": fn, "kpts2d": kpts,
+                    "bboxes": rng.uniform(0, 50, (2, 4)),
+                    "track_id": np.array([0, 1]), "is_label": True})
+    with open(root / "train_filled.pkl", "wb") as f:
+        pickle.dump({"000001_x": seq}, f)
+
+    cfg = Config.tiny()
+
+    def batches(num_workers):
+        ds = HybridDataset(cfg, mode="train", posetrack_dir=str(root))
+        loader = DataLoader(ds, 2, shuffle=True, seed=3,
+                            num_workers=num_workers,
+                            process_index=0, process_count=1)
+        loader.set_epoch(1)
+        return list(loader)
+
+    a = batches(0)
+    b = batches(4)
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["images"], bb["images"])
+        np.testing.assert_array_equal(ba["targets"]["kpts2d"],
+                                      bb["targets"]["kpts2d"])

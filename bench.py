@@ -110,11 +110,14 @@ def main():
         state, m = step(state, batch, rng_t)      # compile
         float(m["loss_total"])
         Kt = 4
-        t0 = time.perf_counter()
-        for _ in range(Kt):
-            state, m = step(state, batch, rng_t)
-        float(m["loss_total"])
-        train_ms = (time.perf_counter() - t0) / Kt * 1e3
+        train_ms = float("inf")
+        for _ in range(2):  # best-of-two: tunnel stalls hit single passes
+            t0 = time.perf_counter()
+            for _ in range(Kt):
+                state, m = step(state, batch, rng_t)
+            float(m["loss_total"])
+            train_ms = min(train_ms,
+                           (time.perf_counter() - t0) / Kt * 1e3)
     except Exception as e:  # noqa: BLE001
         train_ms = f"FAIL {type(e).__name__}"
 

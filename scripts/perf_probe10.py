@@ -1,8 +1,9 @@
 """TPU probe 10: train-step — xla impl baseline + mixed-precision fixes.
 
-probe9 showed pmerged TRAIN backward is pathological (2204 ms vs round-1's
-237 with impl="xla"). Confirm xla, and test mp with the f32-sampling island
-(deform_dtype="float32").
+probe9 showed pmerged TRAIN backward is pathological (2204 ms vs what
+round 1 claimed for impl="xla" — a number later RETRACTED as mis-measured;
+see BASELINE.md "Train-step impl findings — CORRECTED"). Confirm xla, and
+test mp with the f32-sampling island (deform_dtype="float32").
 
 Run ALONE: PYTHONPATH=/root/.axon_site:/root/repo nohup python perf_probe10.py > /tmp/probe10.log 2>&1 &
 """

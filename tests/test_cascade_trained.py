@@ -53,7 +53,7 @@ def test_margin_cascade_exact_under_trained_weights():
                         process_index=0, process_count=1)
     raw = next(iter(loader))
     batch = {"images": raw["images"], "targets": raw["targets"]}
-    for i in range(6):
+    for i in range(4):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
     trained = jax.device_get(state.params)
 

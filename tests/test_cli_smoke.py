@@ -24,7 +24,9 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
 
     _run_main(train_cli, [
         "train", "--preset", "tiny", "--synthetic", "--epochs", "1",
-        "--steps_per_epoch", "2", "--mixed_precision",
+        "--steps_per_epoch", "2", "--no-mixed_precision",  # f32: bf16 is
+        # emulated (slow) on the CPU mesh; the default mp path is covered by
+        # test_mixed_precision_matches_f32_losses
         "--output_dir", out], monkeypatch)
 
     # per-epoch artifacts: checkpoint + JSON-lines log (reference

@@ -395,3 +395,32 @@ def test_windowed2d_margin_offsets_exact():
         assert float(ov) == 0.0, (bh, bw)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
                                    atol=1e-5, err_msg=str((bh, bw)))
+
+
+def test_windowed2d_plan_covers_worst_case_block_spans():
+    """2D plan invariant (mirror of the 1D chunk-floor test): for EVERY
+    query segment, each tap-level window rectangle must cover that
+    segment's worst-case block span plus the margin and the +1 bilinear
+    corner on each axis."""
+    from snipper_tpu.ops.deform_attn import windowed2d_plan
+
+    for shapes in ([(75, 100), (38, 50), (19, 25)],
+                   [(68, 120), (34, 60), (17, 30)],
+                   [(60, 80), (30, 40), (15, 20)]):
+        for bh0, bw0 in ((8, 20), (15, 20), (5, 10), (7, 13)):
+            for margin in (5, 8):
+                blocks, wins = windowed2d_plan(shapes, bh0, bw0, margin)
+                for seg, ((bh, bw), seg_wins) in enumerate(zip(blocks,
+                                                               wins)):
+                    hs, ws_ = shapes[seg]
+                    for (ht, wt), (wy, wx) in zip(shapes, seg_wins):
+                        if wy == 0:
+                            continue  # full level: always exact
+                        span_y = -(-bh * ht // hs)
+                        span_x = -(-bw * wt // ws_)
+                        assert wy >= min(span_y + 2 * margin + 2, ht), (
+                            shapes, (bh0, bw0), margin, seg, (ht, wt),
+                            (wy, wx))
+                        assert wx >= min(span_x + 2 * margin + 2, wt), (
+                            shapes, (bh0, bw0), margin, seg, (ht, wt),
+                            (wy, wx))

@@ -50,7 +50,9 @@ class Config:
     #             count as out["sampling_overflow"] — callers must verify 0,
     #             falling back to "pmerged" otherwise). Decoder stays exact.
     # "xla"     : round-1 corner-expanded core (reference-parity fallback)
-    # "pallas"  : fused Pallas TPU kernel (slower; kept for reference)
+    # "pallas"  : Pallas TPU kernel forward + exact custom-VJP backward
+    #             (trainable; measured slower than "xla" — kept as the
+    #             parity-tested kernel alternative, BASELINE.md)
     # sampling implementation: "xla" is the production default — exact and
     # the only formulation whose BACKWARD is fast (pmerged/windowed are
     # inference-only wins; their backward is 7-9x slower, BASELINE.md

@@ -981,9 +981,10 @@ def temporal_deform_sample(
 
     overflow = jnp.zeros((), jnp.float32)
     if impl == "pallas":
-        from snipper_tpu.ops.pallas_deform import ms_deform_attn_pallas
+        from snipper_tpu.ops.pallas_deform import ms_deform_attn_pallas_grad
 
-        out = ms_deform_attn_pallas(v_flat, spatial_shapes, loc_flat, attn_flat)
+        out = ms_deform_attn_pallas_grad(v_flat, spatial_shapes, loc_flat,
+                                         attn_flat)
     elif impl == "skip":
         # profiling aid only: elide the sampling (weighted mean over S) to
         # measure the non-sampling share of a forward. NOT exact.

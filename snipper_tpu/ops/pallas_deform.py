@@ -382,3 +382,48 @@ def ms_deform_attn_windowed2d_pallas(
         overflow = overflow + ov
         q0 += seg
     return jnp.concatenate(outs, 1), overflow
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward + custom VJP
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _pallas_with_vjp(shapes: Tuple[Tuple[int, int], ...]):
+    from snipper_tpu.ops.deform_attn import ms_deform_attn_core
+
+    @jax.custom_vjp
+    def f(value, loc, attn):
+        return ms_deform_attn_pallas(value, list(shapes), loc, attn)
+
+    def fwd(value, loc, attn):
+        return f(value, loc, attn), (value, loc, attn)
+
+    def bwd(res, g):
+        # exact backward through the XLA weighted-one-hot formulation — the
+        # measured-fastest backward on this hardware (the CUDA reference
+        # hand-writes col2im kernels, ms_deform_attn_cuda.cu:83-153; here
+        # XLA differentiates the equivalent formulation). Recomputing the
+        # forward costs less than saving the one-hot residuals.
+        _, vjp = jax.vjp(
+            lambda v, l, a: ms_deform_attn_core(v, list(shapes), l, a),
+            *res)
+        return vjp(g.astype(jnp.float32))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def ms_deform_attn_pallas_grad(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Differentiable Pallas sampling: the Pallas weighted-one-hot kernel
+    forward with a custom VJP whose backward is the exact XLA formulation
+    (completing the reference's ``MSDeformAttnFunction`` fwd+bwd contract,
+    ``models/ops/functions/ms_deform_attn_func.py:24-42``, in the
+    TPU-native split that measurement favors on v5e — see BASELINE.md)."""
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    return _pallas_with_vjp(shapes)(value, sampling_locations,
+                                    attention_weights)

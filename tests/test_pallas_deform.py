@@ -83,3 +83,77 @@ def test_windowed2d_pallas_matches_pmerged():
         jnp.asarray(value), shapes, jnp.asarray(loc2), jnp.asarray(attn),
         query_segments=sizes, block_h=6, block_w=8, margin_px=5)
     assert float(ov2) > 0
+
+
+def test_temporal_dispatch_pallas_is_differentiable():
+    """impl="pallas" through temporal_deform_sample must match the exact
+    pmerged forward AND propagate gradients (the trainable-kernel contract
+    of the reference's MSDeformAttnFunction, ms_deform_attn_func.py:24-42)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snipper_tpu.ops.deform_attn import (temporal_adjacency,
+                                             temporal_deform_sample)
+
+    shapes = [(6, 9), (3, 5)]
+    S = sum(h * w for h, w in shapes)
+    B, T1, LQ, NH, L, P, D = 1, 3, 11, 2, 2, 2, 4
+    rng = np.random.default_rng(2)
+    adj = temporal_adjacency(T1, T1)
+    value = jnp.asarray(rng.standard_normal((B, T1, S, NH, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.05, 1.05, (B, T1, LQ, NH, L, P, 2)),
+                      jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((B, T1, LQ, NH, L, P)),
+                         jnp.float32)
+
+    def run(impl):
+        def f(v, lo, lg):
+            out, _ = temporal_deform_sample(v, shapes, lo, lg, adj, impl=impl)
+            return (out ** 2).sum(), out
+        (loss, out), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True)(value, loc, logits)
+        return loss, out, grads
+
+    lp, op, gp = run("pallas")
+    lr, orf, gr = run("pmerged")
+    np.testing.assert_allclose(np.asarray(op), np.asarray(orf),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_grad_wrapper_matches_core_grads():
+    """ms_deform_attn_pallas_grad: Pallas forward + custom-VJP backward
+    must match the XLA core's value/location/weight gradients (the
+    reference's kernel-vs-fallback gradcheck pattern, models/ops/test.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snipper_tpu.ops.deform_attn import ms_deform_attn_core
+    from snipper_tpu.ops.pallas_deform import ms_deform_attn_pallas_grad
+
+    shapes = [(12, 16), (6, 8)]
+    S = sum(h * w for h, w in shapes)
+    rng = np.random.default_rng(0)
+    value = jnp.asarray(rng.standard_normal((1, S, 2, 4)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (1, 20, 2, 2, 2, 2)),
+                      jnp.float32)
+    attn = jnp.asarray(rng.uniform(0, 1, (1, 20, 2, 2, 2)), jnp.float32)
+
+    def loss(core):
+        return jax.grad(
+            lambda v, l, a: (core(v, shapes, l, a) ** 2).sum(),
+            argnums=(0, 1, 2))
+
+    out_p = ms_deform_attn_pallas_grad(value, shapes, loc, attn)
+    out_c = ms_deform_attn_core(value, shapes, loc, attn)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_c),
+                               rtol=1e-5, atol=1e-5)
+    gp = loss(ms_deform_attn_pallas_grad)(value, loc, attn)
+    gc = loss(ms_deform_attn_core)(value, loc, attn)
+    for a, b in zip(gp, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -36,6 +36,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -437,6 +438,62 @@ def ms_deform_attn_windowed(
         overflow = overflow + ov
         q0 += seg
     return jnp.concatenate(outs, 1), overflow
+
+
+@functools.lru_cache(maxsize=None)
+def _windowed_fwd_core_bwd(shapes: Tuple[Tuple[int, int], ...],
+                           segments: Tuple[int, ...], margin_px: int):
+    """custom_vjp pairing the windowed forward with the exact core backward.
+
+    The windowed forward's select work is ~2.5x cheaper than the core's
+    (BASELINE.md round-2 log), but differentiating THROUGH the windowed
+    chunk scan is 7-9x slower than the core backward — so training
+    historically ran the core forward too. This split takes the cheap
+    forward and the fast backward: when ``overflow == 0`` the two
+    formulations compute the same function, so the gradients are exact
+    (the train engine aborts on any nonzero overflow). The same split the
+    reference's autograd Function makes between its im2col forward and
+    hand-written col2im backward kernels
+    (``models/ops/src/cuda/ms_deform_attn_cuda.cu:20-153``)."""
+
+    @jax.custom_vjp
+    def f(value, loc, attn):
+        return ms_deform_attn_windowed(value, list(shapes), loc, attn,
+                                       segments, margin_px=margin_px)
+
+    def fwd(value, loc, attn):
+        return f(value, loc, attn), (value, loc, attn)
+
+    def bwd(res, g):
+        g_out, _ = g            # overflow count carries no gradient
+        primal, vjp = jax.vjp(
+            lambda v, l, a: ms_deform_attn_core(v, list(shapes), l, a),
+            *res)
+        return vjp(g_out.astype(primal.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def ms_deform_attn_windowed_hybrid(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    query_segments: Sequence[int],
+    margin_px: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Windowed forward + exact-core custom-VJP backward (training impl).
+
+    Same ``(out, overflow)`` contract as :func:`ms_deform_attn_windowed`;
+    callers must verify ``overflow == 0`` (the train engine's per-step
+    abort) — with zero overflow both the values and the gradients equal
+    the exact path's.
+    """
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    return _windowed_fwd_core_bwd(shapes, tuple(int(s) for s in
+                                                query_segments), margin_px)(
+        value, sampling_locations, attention_weights)
 
 
 def windowed2d_plan(spatial_shapes: Sequence[Tuple[int, int]],
@@ -942,7 +999,10 @@ def temporal_deform_sample(
         :func:`temporal_adjacency`.
       impl: "xla" (round-1 corner-expanded core), "pmerged" (exact
         point-merged one-hot, the round-2 default), "windowed" (pmerged with
-        per-segment 1D contraction windows), "windowed2d" (rectangular
+        per-segment 1D contraction windows), "windowed_hybrid" (windowed
+        forward + exact-core custom-VJP backward — the train-oriented
+        split; decoder/no-segments calls use the core), "windowed2d"
+        (rectangular
         query blocks with 2D windows — less VPU select work; round 3) —
         both need ``query_segments`` and fall back to pmerged otherwise —
         or "pallas".
@@ -995,10 +1055,19 @@ def temporal_deform_sample(
         out, overflow = ms_deform_attn_windowed(
             v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
             margin_px=margin_px)
+    elif impl == "windowed_hybrid" and query_segments is not None:
+        out, overflow = ms_deform_attn_windowed_hybrid(
+            v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
+            margin_px=margin_px)
     elif impl == "windowed2d" and query_segments is not None:
         out, overflow = ms_deform_attn_windowed2d(
             v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
             block_h=block_hw[0], block_w=block_hw[1], margin_px=margin_px)
+    elif impl == "windowed_hybrid":
+        # no segments (decoder): the core path is already the fast backward
+        out = ms_deform_attn_core(v_flat, spatial_shapes, loc_flat, attn_flat,
+                                  query_chunk=query_chunk,
+                                  onehot_max_s=onehot_max_s)
     elif impl in ("pmerged", "windowed", "windowed2d"):
         out = ms_deform_attn_pmerged(v_flat, spatial_shapes, loc_flat,
                                      attn_flat, query_chunk=query_chunk)

@@ -255,6 +255,58 @@ def test_windowed_exact_on_grid_queries_and_overflow_counted():
     assert float(ov2) > 0
 
 
+def test_windowed_hybrid_forward_and_grads_match_core():
+    """impl="windowed_hybrid" (windowed forward + exact-core custom-VJP
+    backward, the train split): outputs match the windowed forward, ALL
+    input gradients match the core's, and overflow is still counted."""
+    from snipper_tpu.ops.deform_attn import (ms_deform_attn_core,
+                                             ms_deform_attn_windowed,
+                                             ms_deform_attn_windowed_hybrid)
+
+    shapes = [(60, 80), (30, 40), (15, 20)]
+    sizes = [h * w for h, w in shapes]
+    s_tot = sum(sizes)
+    rng = np.random.default_rng(9)
+    value = jnp.asarray(rng.standard_normal((1, s_tot, 2, 4)), jnp.float32)
+    refs = []
+    for (h, w) in shapes:
+        gy, gx = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)
+    loc = jnp.asarray(ref[None, :, None, None, None, :]
+                      + rng.uniform(-0.01, 0.01, (1, s_tot, 2, 3, 2, 2)),
+                      jnp.float32)
+    attn = jnp.asarray(rng.uniform(0, 1, (1, s_tot, 2, 3, 2)), jnp.float32)
+
+    got, ov = ms_deform_attn_windowed_hybrid(value, shapes, loc, attn, sizes)
+    want, ov_w = ms_deform_attn_windowed(value, shapes, loc, attn,
+                                         query_segments=sizes)
+    assert float(ov) == 0.0 and float(ov_w) == 0.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # fixed cotangent: the hybrid's VJP must equal the core's exactly
+    # (both are the core VJP at the same primals)
+    g_out = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
+    _, vjp_h = jax.vjp(
+        lambda v, l, a: ms_deform_attn_windowed_hybrid(
+            v, shapes, l, a, sizes)[0], value, loc, attn)
+    _, vjp_c = jax.vjp(
+        lambda v, l, a: ms_deform_attn_core(v, shapes, l, a),
+        value, loc, attn)
+    for a, b in zip(vjp_h(g_out), vjp_c(g_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # overflow still counted through the custom-VJP wrapper
+    loc2 = np.asarray(loc).copy()
+    loc2[0, 5, 0, 0, 0] = [0.99, 0.99]
+    _, ov2 = ms_deform_attn_windowed_hybrid(value, shapes,
+                                            jnp.asarray(loc2), attn, sizes)
+    assert float(ov2) > 0
+
+
 def test_windowed_plan_covers_worst_case_chunk_spans():
     """Plan invariant (regression for the chunk-floor bug): for EVERY query
     segment, each tap-level window must cover that segment's worst-case

@@ -54,6 +54,11 @@ def add_data_args(parser: argparse.ArgumentParser):
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--pretrained_torch", type=str, default=None,
                         help="path to a reference .pth checkpoint to import")
+    parser.add_argument("--pretrained_backbone", type=str, default=None,
+                        help="path to a raw torchvision resnet .pth; "
+                             "initializes ONLY the backbone (the "
+                             "reference's ImageNet-pretrained start, "
+                             "backbone.py:107)")
     parser.add_argument("--steps_per_epoch", type=int, default=None)
     parser.add_argument("--num_workers", type=int, default=2,
                         help="threads decoding/warping a batch's samples in "

@@ -62,6 +62,13 @@ def main():
     if args.pretrained_torch:
         params = load_torch_checkpoint(args.pretrained_torch, cfg)
         print(f"imported torch checkpoint {args.pretrained_torch}", flush=True)
+    elif args.pretrained_backbone:
+        from snipper_tpu.train.checkpoint import load_torchvision_backbone
+
+        params = load_torchvision_backbone(args.pretrained_backbone, cfg,
+                                           params=params)
+        print(f"imported torchvision backbone {args.pretrained_backbone}",
+              flush=True)
     n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
     print(f"parameters: {n_params / 1e6:.1f}M", flush=True)
 

@@ -217,3 +217,59 @@ def load_torch_checkpoint(path: str, cfg, strict: bool = True) -> Dict:
     sd = ckpt.get("model", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return import_torch_state_dict(sd, cfg, strict=strict)
+
+
+def import_torchvision_backbone(state_dict: Dict[str, Any], cfg,
+                                params: Dict = None,
+                                strict: bool = True) -> Dict:
+    """Import a RAW torchvision resnet state dict (``conv1.weight``,
+    ``layer1.0.conv1.weight``, ...) as the backbone subtree.
+
+    The reference starts training from torchvision's ImageNet-pretrained
+    resnet50 (``models/backbone.py:107`` ``pretrained=is_main_process()``,
+    cache directory set by ``--pretrained_dir`` → ``TORCH_HOME``,
+    ``main.py:164-165``); this gives the same starting point from a local
+    torchvision weights file without network access. The classifier head
+    (``fc.*``) is ignored. With ``params`` given, returns a copy whose
+    ``backbone`` subtree is replaced; otherwise just the subtree."""
+    prefix = "backbone.0.body."
+    key_map = {k[len(prefix):]: v for k, v in torch_key_map(cfg).items()
+               if k.startswith(prefix)}
+    sub: Dict = {}
+    used = set()
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked") or k.startswith("fc."):
+            continue
+        if k not in key_map:
+            if strict:
+                raise KeyError(f"unmapped torchvision key: {k}")
+            continue
+        path, tf = key_map[k]
+        node = sub
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = tf(v)
+        used.add(k)
+    if strict:
+        missing = set(key_map) - used
+        if missing:
+            raise KeyError(f"missing torchvision keys: "
+                           f"{sorted(missing)[:10]} "
+                           f"(+{max(0, len(missing) - 10)} more)")
+    if params is not None:
+        merged = dict(params)
+        merged["backbone"] = sub["backbone"]
+        return merged
+    return sub
+
+
+def load_torchvision_backbone(path: str, cfg, params: Dict = None,
+                              strict: bool = True) -> Dict:
+    """Load a torchvision resnet ``.pth`` file and graft it as the backbone
+    (the ``--pretrained_backbone`` train CLI flag)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return import_torchvision_backbone(sd, cfg, params=params, strict=strict)

@@ -75,3 +75,44 @@ def test_import_rejects_unknown_key(tiny):
     with pytest.raises(KeyError):
         import_torch_state_dict({"bogus.weight": np.zeros((2, 2))}, cfg,
                                 strict=True)
+
+
+def test_torchvision_backbone_import(tiny):
+    """A RAW torchvision resnet state dict (no ``backbone.0.body.`` prefix,
+    with an ``fc.`` head and num_batches_tracked buffers) must graft onto
+    the backbone subtree only — the reference's ImageNet-pretrained start
+    (``models/backbone.py:107``)."""
+    from snipper_tpu.train.checkpoint import import_torchvision_backbone
+
+    cfg, params = tiny
+    key_map = torch_key_map(cfg)
+    flat = _flatten(jax.tree_util.tree_map(np.asarray, params))
+
+    prefix = "backbone.0.body."
+    sd = {}
+    for tkey, (path, tf) in key_map.items():
+        if not tkey.startswith(prefix):
+            continue
+        v = flat[path]
+        raw = (np.transpose(np.asarray(v), (3, 2, 0, 1))
+               if tf.__name__ == "_conv" else np.asarray(v))
+        sd[tkey[len(prefix):]] = raw + 1.0   # shift so the graft is visible
+    sd["fc.weight"] = np.zeros((1000, 2048))
+    sd["fc.bias"] = np.zeros((1000,))
+    sd["bn1.num_batches_tracked"] = np.zeros(())
+
+    merged = import_torchvision_backbone(sd, cfg, params=params, strict=True)
+    got = _flatten(jax.tree_util.tree_map(np.asarray, merged))
+    assert set(got) == set(flat)
+    for path in flat:
+        if path[0] == "backbone":
+            np.testing.assert_array_equal(got[path], flat[path] + 1.0,
+                                          err_msg=str(path))
+        else:
+            np.testing.assert_array_equal(got[path], flat[path],
+                                          err_msg=str(path))
+
+    # a torchvision dict with a bogus key must be rejected in strict mode
+    with pytest.raises(KeyError):
+        import_torchvision_backbone({"bogus.weight": np.zeros((2, 2))}, cfg,
+                                    strict=True)

@@ -46,3 +46,14 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
         "eval", "--preset", "tiny", "--synthetic", "--resume", ck,
         "--output_dir", eout], monkeypatch)
     assert os.path.exists(eout)
+
+    # resume TRAINING from the epoch-0 checkpoint: optimizer state + step
+    # restore and the loop continues at epoch 1 (reference main.py:242-248)
+    _run_main(train_cli, [
+        "train", "--preset", "tiny", "--synthetic", "--epochs", "2",
+        "--steps_per_epoch", "2", "--no-mixed_precision",
+        "--resume", ck, "--output_dir", out], monkeypatch)
+    epochs_logged = [json.loads(ln)["epoch"] for ln in open(log)]
+    assert 1 in epochs_logged, epochs_logged
+    assert any(c.startswith("checkpoint0001")
+               for c in os.listdir(os.path.join(out, "ckpts")))

@@ -110,16 +110,23 @@ def main():
         state, m = step(state, batch, rng_t)      # compile
         float(m["loss_total"])
         Kt = 4
-        train_ms = float("inf")
         for _ in range(2):  # best-of-two: tunnel stalls hit single passes
-            t0 = time.perf_counter()
-            for _ in range(Kt):
-                state, m = step(state, batch, rng_t)
-            float(m["loss_total"])
-            train_ms = min(train_ms,
-                           (time.perf_counter() - t0) / Kt * 1e3)
+            try:
+                t0 = time.perf_counter()
+                for _ in range(Kt):
+                    state, m = step(state, batch, rng_t)
+                float(m["loss_total"])
+                ms = (time.perf_counter() - t0) / Kt * 1e3
+                train_ms = (min(train_ms, ms)
+                            if isinstance(train_ms, float) else ms)
+            except Exception as e:  # noqa: BLE001
+                # keep a valid earlier pass: a transient tunnel error in
+                # pass 2 must not discard pass 1's measurement
+                if not isinstance(train_ms, float):
+                    train_ms = f"FAIL {type(e).__name__}"
     except Exception as e:  # noqa: BLE001
-        train_ms = f"FAIL {type(e).__name__}"
+        if not isinstance(train_ms, float):
+            train_ms = f"FAIL {type(e).__name__}"
 
     rec = {
         "metric": "inference_snippets_per_sec_per_chip_T4_600x800",

@@ -440,6 +440,25 @@ def ms_deform_attn_windowed(
     return jnp.concatenate(outs, 1), overflow
 
 
+def core_backward(shapes: Tuple[Tuple[int, int], ...]):
+    """The shared custom-VJP backward: differentiate through the exact
+    core formulation at the saved primals — the measured-fastest backward
+    on this hardware (the CUDA reference hand-writes col2im kernels,
+    ``ms_deform_attn_cuda.cu:83-153``; here XLA differentiates the
+    equivalent formulation). Recomputing the forward costs less than
+    saving the one-hot residuals. Used by every fwd-impl/core-bwd split
+    (windowed_hybrid here, the Pallas wrapper in ``pallas_deform.py``) so
+    cotangent-dtype handling lives in exactly one place."""
+
+    def bwd(res, g_out):
+        primal, vjp = jax.vjp(
+            lambda v, l, a: ms_deform_attn_core(v, list(shapes), l, a),
+            *res)
+        return vjp(g_out.astype(primal.dtype))
+
+    return bwd
+
+
 @functools.lru_cache(maxsize=None)
 def _windowed_fwd_core_bwd(shapes: Tuple[Tuple[int, int], ...],
                            segments: Tuple[int, ...], margin_px: int):
@@ -464,12 +483,11 @@ def _windowed_fwd_core_bwd(shapes: Tuple[Tuple[int, int], ...],
     def fwd(value, loc, attn):
         return f(value, loc, attn), (value, loc, attn)
 
+    core_bwd = core_backward(shapes)
+
     def bwd(res, g):
         g_out, _ = g            # overflow count carries no gradient
-        primal, vjp = jax.vjp(
-            lambda v, l, a: ms_deform_attn_core(v, list(shapes), l, a),
-            *res)
-        return vjp(g_out.astype(primal.dtype))
+        return core_bwd(res, g_out)
 
     f.defvjp(fwd, bwd)
     return f

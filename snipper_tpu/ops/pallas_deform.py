@@ -389,7 +389,7 @@ def ms_deform_attn_windowed2d_pallas(
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=None)
 def _pallas_with_vjp(shapes: Tuple[Tuple[int, int], ...]):
-    from snipper_tpu.ops.deform_attn import ms_deform_attn_core
+    from snipper_tpu.ops.deform_attn import core_backward
 
     @jax.custom_vjp
     def f(value, loc, attn):
@@ -398,18 +398,7 @@ def _pallas_with_vjp(shapes: Tuple[Tuple[int, int], ...]):
     def fwd(value, loc, attn):
         return f(value, loc, attn), (value, loc, attn)
 
-    def bwd(res, g):
-        # exact backward through the XLA weighted-one-hot formulation — the
-        # measured-fastest backward on this hardware (the CUDA reference
-        # hand-writes col2im kernels, ms_deform_attn_cuda.cu:83-153; here
-        # XLA differentiates the equivalent formulation). Recomputing the
-        # forward costs less than saving the one-hot residuals.
-        _, vjp = jax.vjp(
-            lambda v, l, a: ms_deform_attn_core(v, list(shapes), l, a),
-            *res)
-        return vjp(g.astype(jnp.float32))
-
-    f.defvjp(fwd, bwd)
+    f.defvjp(fwd, core_backward(shapes))
     return f
 
 

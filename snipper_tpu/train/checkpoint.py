@@ -182,11 +182,10 @@ _IGNORED = re.compile(
 )
 
 
-def import_torch_state_dict(state_dict: Dict[str, Any], cfg,
-                            strict: bool = True) -> Dict:
-    """Convert a reference ``model`` state dict (torch names -> arrays) into
-    the flax param tree."""
-    key_map = torch_key_map(cfg)
+def _import_with_key_map(state_dict: Dict[str, Any], key_map: Dict[str, tuple],
+                         strict: bool, what: str) -> Dict:
+    """Shared key-map walk: build a param (sub)tree from a torch state dict,
+    with strict unmapped/missing accounting. ``_IGNORED`` keys are skipped."""
     params: Dict = {}
     used = set()
     for k, v in state_dict.items():
@@ -194,7 +193,7 @@ def import_torch_state_dict(state_dict: Dict[str, Any], cfg,
             continue
         if k not in key_map:
             if strict:
-                raise KeyError(f"unmapped reference key: {k}")
+                raise KeyError(f"unmapped {what} key: {k}")
             continue
         path, tf = key_map[k]
         node = params
@@ -205,9 +204,17 @@ def import_torch_state_dict(state_dict: Dict[str, Any], cfg,
     if strict:
         missing = set(key_map) - used
         if missing:
-            raise KeyError(f"missing reference keys: {sorted(missing)[:10]} "
+            raise KeyError(f"missing {what} keys: {sorted(missing)[:10]} "
                            f"(+{max(0, len(missing) - 10)} more)")
     return params
+
+
+def import_torch_state_dict(state_dict: Dict[str, Any], cfg,
+                            strict: bool = True) -> Dict:
+    """Convert a reference ``model`` state dict (torch names -> arrays) into
+    the flax param tree."""
+    return _import_with_key_map(state_dict, torch_key_map(cfg), strict,
+                                "reference")
 
 
 def load_torch_checkpoint(path: str, cfg, strict: bool = True) -> Dict:
@@ -217,6 +224,16 @@ def load_torch_checkpoint(path: str, cfg, strict: bool = True) -> Dict:
     sd = ckpt.get("model", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return import_torch_state_dict(sd, cfg, strict=strict)
+
+
+def _deep_merge(dst: Dict, src: Dict) -> Dict:
+    """Copy of ``dst`` with ``src`` leaves grafted in (non-destructive)."""
+    out = dict(dst)
+    for k, v in src.items():
+        out[k] = (_deep_merge(dst[k], v)
+                  if isinstance(v, dict) and isinstance(dst.get(k), dict)
+                  else v)
+    return out
 
 
 def import_torchvision_backbone(state_dict: Dict[str, Any], cfg,
@@ -230,36 +247,17 @@ def import_torchvision_backbone(state_dict: Dict[str, Any], cfg,
     cache directory set by ``--pretrained_dir`` → ``TORCH_HOME``,
     ``main.py:164-165``); this gives the same starting point from a local
     torchvision weights file without network access. The classifier head
-    (``fc.*``) is ignored. With ``params`` given, returns a copy whose
-    ``backbone`` subtree is replaced; otherwise just the subtree."""
+    (``fc.*``) is ignored. With ``params`` given, returns a copy with the
+    imported leaves grafted into the backbone subtree (a deep merge, so a
+    non-strict partial state dict leaves unmapped leaves initialized);
+    otherwise just the imported subtree."""
     prefix = "backbone.0.body."
     key_map = {k[len(prefix):]: v for k, v in torch_key_map(cfg).items()
                if k.startswith(prefix)}
-    sub: Dict = {}
-    used = set()
-    for k, v in state_dict.items():
-        if k.endswith("num_batches_tracked") or k.startswith("fc."):
-            continue
-        if k not in key_map:
-            if strict:
-                raise KeyError(f"unmapped torchvision key: {k}")
-            continue
-        path, tf = key_map[k]
-        node = sub
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = tf(v)
-        used.add(k)
-    if strict:
-        missing = set(key_map) - used
-        if missing:
-            raise KeyError(f"missing torchvision keys: "
-                           f"{sorted(missing)[:10]} "
-                           f"(+{max(0, len(missing) - 10)} more)")
+    sd = {k: v for k, v in state_dict.items() if not k.startswith("fc.")}
+    sub = _import_with_key_map(sd, key_map, strict, "torchvision")
     if params is not None:
-        merged = dict(params)
-        merged["backbone"] = sub["backbone"]
-        return merged
+        return _deep_merge(params, sub)
     return sub
 
 

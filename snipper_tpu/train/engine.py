@@ -164,6 +164,11 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
             v = np.concatenate(chunks)
             if v.size:
                 stats[f"{name}{k}"] = float(v.mean())
+    if stats.get("sampling_overflow", 0.0) > 0:
+        print("WARNING: windowed sampling dropped taps during eval "
+              f"(sampling_overflow avg {stats['sampling_overflow']:.1f}); "
+              "metrics are inexact — use an exact deform_impl (pmerged/"
+              "xla) or a larger sampling_margin for evaluation", flush=True)
     print("Eval stats:", {k: round(v, 4) for k, v in stats.items()
                           if not k.startswith("loss")}, flush=True)
     if collect_results:

@@ -112,6 +112,10 @@ def make_eval_step(model, criterion: SetCriterion) -> Callable:
         out = model.apply({"params": params}, batch["images"],
                           batch.get("mask"))
         total, losses, src_idx = criterion(out, batch["targets"])
+        # surface the windowed-sampling dropped-tap counter (as in the
+        # train step) so evaluate() can warn on inexact eval forwards
+        losses["sampling_overflow"] = out.get(
+            "sampling_overflow", jnp.zeros((), jnp.float32))
         return out, {"loss_total": total, **losses}, src_idx
 
     return jax.jit(step)

@@ -116,3 +116,18 @@ def test_torchvision_backbone_import(tiny):
     with pytest.raises(KeyError):
         import_torchvision_backbone({"bogus.weight": np.zeros((2, 2))}, cfg,
                                     strict=True)
+
+    # non-strict PARTIAL import must deep-merge: leaves absent from the
+    # state dict keep their initialized values (regression: wholesale
+    # subtree replacement dropped them)
+    partial = {"conv1.weight": sd["conv1.weight"]}
+    merged2 = import_torchvision_backbone(partial, cfg, params=params,
+                                          strict=False)
+    got2 = _flatten(jax.tree_util.tree_map(np.asarray, merged2))
+    assert set(got2) == set(flat)
+    for path in flat:
+        if path[:3] == ("backbone", "conv1", "kernel"):
+            np.testing.assert_array_equal(got2[path], flat[path] + 1.0)
+        else:
+            np.testing.assert_array_equal(got2[path], flat[path],
+                                          err_msg=str(path))

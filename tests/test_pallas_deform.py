@@ -124,6 +124,41 @@ def test_temporal_dispatch_pallas_is_differentiable():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_grad_wrapper_bf16_inputs():
+    """The custom-VJP backward must accept bf16 primals (the default
+    mixed-precision train path): cotangents are cast to the primal dtype,
+    not hard-coded f32 (regression for a review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snipper_tpu.ops.deform_attn import ms_deform_attn_windowed_hybrid
+    from snipper_tpu.ops.pallas_deform import ms_deform_attn_pallas_grad
+
+    shapes = [(12, 16), (6, 8)]
+    S = sum(h * w for h, w in shapes)
+    rng = np.random.default_rng(4)
+    value = jnp.asarray(rng.standard_normal((1, S, 2, 4)), jnp.bfloat16)
+    loc = jnp.asarray(rng.uniform(0.2, 0.8, (1, 20, 2, 2, 2, 2)),
+                      jnp.bfloat16)
+    attn = jnp.asarray(rng.uniform(0, 1, (1, 20, 2, 2, 2)), jnp.bfloat16)
+
+    g = jax.grad(lambda v: (ms_deform_attn_pallas_grad(
+        v, shapes, loc, attn).astype(jnp.float32) ** 2).sum())(value)
+    assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(
+        g.astype(jnp.float32)).all())
+
+    # same contract for the windowed hybrid (shared core_backward)
+    grid = jnp.asarray(
+        rng.uniform(0.2, 0.8, (1, S, 2, 2, 2, 2)), jnp.bfloat16)
+    attn2 = jnp.asarray(rng.uniform(0, 1, (1, S, 2, 2, 2)), jnp.bfloat16)
+    g2 = jax.grad(lambda v: (ms_deform_attn_windowed_hybrid(
+        v, shapes, grid, attn2, [h * w for h, w in shapes])[0]
+        .astype(jnp.float32) ** 2).sum())(value)
+    assert g2.dtype == jnp.bfloat16 and bool(jnp.isfinite(
+        g2.astype(jnp.float32)).all())
+
+
 def test_pallas_grad_wrapper_matches_core_grads():
     """ms_deform_attn_pallas_grad: Pallas forward + custom-VJP backward
     must match the XLA core's value/location/weight gradients (the

@@ -40,8 +40,10 @@ def add_config_args(parser: argparse.ArgumentParser):
 def add_data_args(parser: argparse.ArgumentParser):
     parser.add_argument("--preset", type=str, default=None,
                         help="Config preset: canonical_t4, canonical_t4_f2, "
-                             "canonical_t1, light_t4_f2, jta_forecast, "
-                             "panoptic, tiny")
+                             "canonical_t1, light_t4_f2, light_t4, "
+                             "light_t1, jta_forecast, panoptic, tiny "
+                             "(one per shipped reference checkpoint + "
+                             "recipes)")
     parser.add_argument("--posetrack_dir", type=str, default=None)
     parser.add_argument("--coco_dir", type=str, default=None)
     parser.add_argument("--muco_dir", type=str, default=None)

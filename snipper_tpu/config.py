@@ -171,6 +171,20 @@ class Config:
                       enc_layers=2, dec_layers=4)
 
     @staticmethod
+    def light_t4() -> "Config":
+        """enc=2/dec=4, T=4 tracking (the reference ships all of
+        {T=1, T=4, T=4+2} x {enc6/dec6, enc2/dec4}, README.md:30-37)."""
+        return Config(num_frames=4, num_future_frames=0, hidden_dim=384,
+                      enc_layers=2, dec_layers=4)
+
+    @staticmethod
+    def light_t1() -> "Config":
+        """enc=2/dec=4, T=1 single-frame (reference README.md:30-37; also
+        the minimum end-to-end slice of SURVEY.md §7.2)."""
+        return Config(num_frames=1, num_future_frames=0, hidden_dim=384,
+                      enc_layers=2, dec_layers=4, seq_min_gap=1)
+
+    @staticmethod
     def jta_forecast() -> "Config":
         """JTA forecasting recipe (reference README.md:129-187)."""
         return Config(num_frames=4, num_future_frames=2, hidden_dim=384,

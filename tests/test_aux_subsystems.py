@@ -64,3 +64,20 @@ def test_aux_losses_present_and_weighted():
         coef = w.get(k, w.get(base[0]) if base[-1].isdigit() else None)
         manual += (coef or 0.0) * float(v)
     np.testing.assert_allclose(float(total), manual, rtol=1e-5)
+
+
+def test_presets_cover_reference_checkpoint_matrix():
+    """One preset per shipped reference checkpoint: {T=1, T=4, T=4+2} x
+    {enc6/dec6, enc2/dec4} (reference README.md:30-37), plus recipes."""
+    got = set()
+    for name in ("canonical_t1", "canonical_t4", "canonical_t4_f2",
+                 "light_t1", "light_t4", "light_t4_f2"):
+        c = getattr(Config, name)()
+        got.add((c.num_frames, c.num_future_frames,
+                 c.enc_layers, c.dec_layers))
+        assert c.hidden_dim == 384 and c.num_queries == 60
+    assert got == {(1, 0, 6, 6), (4, 0, 6, 6), (4, 2, 6, 6),
+                   (1, 0, 2, 4), (4, 0, 2, 4), (4, 2, 2, 4)}
+    # recipe presets keep the reference geometry
+    assert Config.jta_forecast().max_depth == 60.0
+    assert Config.panoptic().num_queries == 20

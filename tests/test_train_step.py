@@ -216,7 +216,10 @@ def test_tp2_matches_tp1_and_unsharded():
     loss, grads = grad_fn(params, batch)
     results["unsharded"] = (float(loss), float(optax.global_norm(grads)))
 
-    for name, (dp, tp) in (("dp4", (4, 1)), ("dp4_tp2", (4, 2))):
+    # tp=4 puts ONE head per model shard (tiny nheads=4) — the edge case
+    # of the head-sharded sampling cut
+    for name, (dp, tp) in (("dp4", (4, 1)), ("dp4_tp2", (4, 2)),
+                           ("dp2_tp4", (2, 4))):
         mesh = make_mesh(dp_size=dp, tp_size=tp)
         sh = param_shardings(mesh, params, tensor_parallel=(tp > 1))
         p = jax.tree_util.tree_map(jax.device_put, params, sh)

@@ -48,6 +48,23 @@ class SmoothedValue:
                                global_avg=self.global_avg, value=self.value)
 
 
+def _device_mem_mb():
+    """Peak device-memory use in MB, if the backend reports it (directly
+    attached TPUs do; the CPU test platform and the axon tunnel return
+    None, and the column is simply omitted). The role of the reference's
+    ``torch.cuda.max_memory_allocated()`` log column
+    (``util/misc.py:254-262``)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / (1024.0 * 1024.0)
+    except Exception:  # noqa: BLE001  (backend without memory_stats)
+        pass
+    return None
+
+
 class MetricLogger:
     def __init__(self, delimiter: str = "  "):
         self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
@@ -81,14 +98,17 @@ class MetricLogger:
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0:
+                mem = _device_mem_mb()
+                mem_s = f" max mem: {mem:.0f}MB" if mem is not None else ""
                 if total:
                     eta = datetime.timedelta(
                         seconds=int(iter_time.global_avg * (total - i)))
                     print(f"{header} [{i}/{total}] eta: {eta} {self} "
-                          f"time: {iter_time} data: {data_time}", flush=True)
+                          f"time: {iter_time} data: {data_time}{mem_s}",
+                          flush=True)
                 else:
                     print(f"{header} [{i}] {self} time: {iter_time} "
-                          f"data: {data_time}", flush=True)
+                          f"data: {data_time}{mem_s}", flush=True)
             i += 1
             end = time.time()
         elapsed = time.time() - start

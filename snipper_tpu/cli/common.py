@@ -75,7 +75,7 @@ def build_config(args) -> Config:
         v = getattr(args, f.name, None)
         if v is not None:
             overrides[f.name] = v
-    return cfg.replace(**overrides)
+    return cfg.replace(**overrides).validate()
 
 
 def build_dataset(cfg: Config, args, mode: str):

@@ -144,6 +144,49 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "Config":
+        """Fail fast with readable messages instead of mid-trace shape
+        errors (the reference's ~70 argparse flags had no checking; one
+        config object makes the invariants enforceable)."""
+        problems = []
+        if self.hidden_dim % self.nheads:
+            problems.append(f"hidden_dim {self.hidden_dim} must be divisible"
+                            f" by nheads {self.nheads}")
+        if self.hidden_dim < self.nheads * self.num_kpts:
+            problems.append(
+                f"hidden_dim {self.hidden_dim} < nheads*num_kpts "
+                f"{self.nheads * self.num_kpts}: the encoder heatmap taps "
+                f"need num_kpts channels per head "
+                f"(models/transformer.py heatmap extraction)")
+        if self.num_frames < 1:
+            problems.append(f"num_frames must be >= 1 (got {self.num_frames})")
+        if self.num_future_frames < 0:
+            problems.append("num_future_frames must be >= 0")
+        if self.num_feature_levels < 3:
+            problems.append("num_feature_levels must be >= 3 (3 backbone "
+                            "taps; >3 adds stride-2 extras)")
+        if not 0 < self.seq_min_gap <= self.seq_max_gap:
+            problems.append(f"need 0 < seq_min_gap <= seq_max_gap "
+                            f"(got {self.seq_min_gap}, {self.seq_max_gap})")
+        if self.deform_impl not in ("xla", "pmerged", "windowed",
+                                    "windowed2d", "windowed_hybrid",
+                                    "pallas", "skip"):
+            problems.append(f"unknown deform_impl {self.deform_impl!r}")
+        if self.deform_dtype not in ("auto", "float32"):
+            problems.append(f"unknown deform_dtype {self.deform_dtype!r}")
+        if self.dtype not in ("float32", "bfloat16"):
+            problems.append(f"unknown dtype {self.dtype!r}")
+        if self.sampling_margin < 1:
+            problems.append("sampling_margin must be >= 1 (must cover "
+                            "max |learned offset| + 1)")
+        if self.tp_size >= 1 and self.nheads % self.tp_size:
+            problems.append(f"nheads {self.nheads} must be divisible by "
+                            f"tp_size {self.tp_size} (head-sharded "
+                            f"sampling, parallel/mesh.py)")
+        if problems:
+            raise ValueError("invalid config:\n  - " + "\n  - ".join(problems))
+        return self
+
     # ------------------------------------------------------------- presets
     @staticmethod
     def canonical_t4() -> "Config":

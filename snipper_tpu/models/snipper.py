@@ -156,6 +156,7 @@ class Snipper(nn.Module):
 
 
 def build_model(cfg: Config) -> Snipper:
+    cfg.validate()
     return Snipper(cfg)
 
 

@@ -81,3 +81,26 @@ def test_presets_cover_reference_checkpoint_matrix():
     # recipe presets keep the reference geometry
     assert Config.jta_forecast().max_depth == 60.0
     assert Config.panoptic().num_queries == 20
+
+
+def test_config_validate():
+    """validate(): presets all pass; bad combinations produce readable
+    errors naming the offending field (no mid-trace shape errors)."""
+    import pytest
+
+    for name in ("canonical_t4", "canonical_t4_f2", "canonical_t1",
+                 "light_t1", "light_t4", "light_t4_f2", "jta_forecast",
+                 "panoptic", "tiny"):
+        getattr(Config, name)().validate()
+
+    for bad, match in (
+            (dict(hidden_dim=100, nheads=8), "divisible by nheads"),
+            (dict(hidden_dim=96, nheads=8, num_kpts=15), "heatmap taps"),
+            (dict(num_frames=0), "num_frames"),
+            (dict(deform_impl="cuda"), "deform_impl"),
+            (dict(seq_min_gap=5, seq_max_gap=2), "seq_min_gap"),
+            (dict(nheads=8, tp_size=3), "tp_size"),
+            (dict(sampling_margin=0), "sampling_margin"),
+            (dict(dtype="float16"), "dtype")):
+        with pytest.raises(ValueError, match=match):
+            Config().replace(**bad).validate()

@@ -69,7 +69,15 @@ def add_data_args(parser: argparse.ArgumentParser):
 
 
 def build_config(args) -> Config:
-    cfg = getattr(Config, args.preset)() if args.preset else Config()
+    if args.preset:
+        from snipper_tpu.config import PRESETS
+
+        if args.preset not in PRESETS:
+            raise SystemExit(f"unknown preset {args.preset!r}; choose from: "
+                             f"{', '.join(PRESETS)}")
+        cfg = getattr(Config, args.preset)()
+    else:
+        cfg = Config()
     overrides = {}
     for f in dataclasses.fields(Config):
         v = getattr(args, f.name, None)

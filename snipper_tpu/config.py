@@ -149,7 +149,9 @@ class Config:
         errors (the reference's ~70 argparse flags had no checking; one
         config object makes the invariants enforceable)."""
         problems = []
-        if self.hidden_dim % self.nheads:
+        if self.nheads < 1:
+            problems.append(f"nheads must be >= 1 (got {self.nheads})")
+        elif self.hidden_dim % self.nheads:
             problems.append(f"hidden_dim {self.hidden_dim} must be divisible"
                             f" by nheads {self.nheads}")
         if self.hidden_dim < self.nheads * self.num_kpts:
@@ -179,10 +181,17 @@ class Config:
         if self.sampling_margin < 1:
             problems.append("sampling_margin must be >= 1 (must cover "
                             "max |learned offset| + 1)")
-        if self.tp_size >= 1 and self.nheads % self.tp_size:
+        if self.tp_size < 1:
+            problems.append(f"tp_size must be >= 1 (got {self.tp_size}; "
+                            f"only dp_size supports -1 = all remaining "
+                            f"devices)")
+        elif self.nheads >= 1 and self.nheads % self.tp_size:
             problems.append(f"nheads {self.nheads} must be divisible by "
                             f"tp_size {self.tp_size} (head-sharded "
                             f"sampling, parallel/mesh.py)")
+        if self.dp_size != -1 and self.dp_size < 1:
+            problems.append(f"dp_size must be >= 1 or -1 = all remaining "
+                            f"devices (got {self.dp_size})")
         if problems:
             raise ValueError("invalid config:\n  - " + "\n  - ".join(problems))
         return self
@@ -250,3 +259,10 @@ class Config:
                       num_queries=8, input_height=64, input_width=96,
                       max_persons=4, nheads=4, batch_size=1,
                       backbone="resnet_test")
+
+
+# preset registry for CLI lookup/error messages (one per shipped reference
+# checkpoint + the two recipe configs + the test config)
+PRESETS = ("canonical_t4", "canonical_t4_f2", "canonical_t1",
+           "light_t4_f2", "light_t4", "light_t1",
+           "jta_forecast", "panoptic", "tiny")

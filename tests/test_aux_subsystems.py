@@ -100,6 +100,10 @@ def test_config_validate():
             (dict(deform_impl="cuda"), "deform_impl"),
             (dict(seq_min_gap=5, seq_max_gap=2), "seq_min_gap"),
             (dict(nheads=8, tp_size=3), "tp_size"),
+            (dict(nheads=0), "nheads"),
+            (dict(tp_size=0), "tp_size"),
+            (dict(tp_size=-1), "tp_size"),
+            (dict(dp_size=0), "dp_size"),
             (dict(sampling_margin=0), "sampling_margin"),
             (dict(dtype="float16"), "dtype")):
         with pytest.raises(ValueError, match=match):

@@ -315,7 +315,9 @@ def visualize_heatmaps(heatmaps: List[np.ndarray], images: np.ndarray,
     T = hm.shape[0]
     for t in range(T):
         fig, ax = plt.subplots(figsize=(8, 6))
-        ax.imshow(images[t])
+        # bf16 round-trips can leave floats at 1 + 1ulp; clip to silence
+        # matplotlib's per-image "Clipping input data" warning
+        ax.imshow(np.clip(images[t], 0.0, 1.0))
         ax.imshow(hm[t].max(-1), alpha=0.5, cmap="jet",
                   extent=(0, images.shape[2], images.shape[1], 0))
         ax.axis("off")
@@ -361,7 +363,7 @@ def visualize_attention(attn_data, images: np.ndarray, save_dir: str,
     cmap = plt.get_cmap("tab10")
     for t in range(T):
         fig, ax = plt.subplots(figsize=(8, 6))
-        ax.imshow(images[t])
+        ax.imshow(np.clip(images[t], 0.0, 1.0))
         for rank, q in enumerate(top):
             pts = loc[t, q].reshape(-1, 2)           # [H*L*P, 2]
             w = attn[t, q].reshape(-1)

@@ -81,11 +81,17 @@ def main():
     # injects multi-hundred-ms scheduling stalls into a single pass)
     K = 15
     sps = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        outs = [fwd(x)["pred_logits"] for _ in range(K)]
-        np.asarray(outs[-1][..., :1].astype(jnp.float32))
-        sps = max(sps, K / (time.perf_counter() - t0))
+    for attempt in range(2):
+        try:
+            t0 = time.perf_counter()
+            outs = [fwd(x)["pred_logits"] for _ in range(K)]
+            np.asarray(outs[-1][..., :1].astype(jnp.float32))
+            sps = max(sps, K / (time.perf_counter() - t0))
+        except Exception:  # noqa: BLE001
+            # transient tunnel error: keep a valid earlier pass; rethrow
+            # only if NO pass succeeded (the metric would be meaningless)
+            if sps == 0.0 and attempt == 1:
+                raise
 
     # ---- train step: canonical T=4+2 f32, batch 2 -------------------------
     train_ms = None

@@ -210,12 +210,15 @@ class MOTAccumulator:
         self.num_gt += len(gt_ids)
         matched_g, matched_p = set(), set()
         pairs = {}
-        # keep previous correspondences when still valid
+        # keep previous correspondences when still valid; a prediction can
+        # serve at most ONE GT (two GTs can share a carried-forward pr_id
+        # after occlusion gaps — first in GT order keeps it, the other goes
+        # to the Hungarian step; motmetrics enforces the same uniqueness)
         for a, g in enumerate(gt_ids):
             p = self.last_match.get(g)
             if p is not None and p in pr_ids:
                 b = pr_ids.index(p)
-                if np.isfinite(dist[a, b]):
+                if b not in matched_p and np.isfinite(dist[a, b]):
                     pairs[a] = b
                     matched_g.add(a)
                     matched_p.add(b)

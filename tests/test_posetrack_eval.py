@@ -140,6 +140,26 @@ def test_mot_golden_continuation_beats_cheaper_hungarian():
         m["motp"], (1 - (0.4 + 0.45 + 0.4 + 0.45) / 4) * 100)
 
 
+def test_mot_golden_duplicate_carried_correspondence():
+    """Two GTs can end up carrying the SAME pr_id (g1 matches p1, then g1
+    vanishes while g2 matches p1, then both reappear): the prediction must
+    serve at most one GT. Before the uniqueness check this double-counted
+    the match (num_matches 4, num_fp -1, MOTA 125 > 100)."""
+    from snipper_tpu.eval.posetrack_eval import MOTAccumulator
+
+    acc = MOTAccumulator()
+    acc.update(["g1"], ["p1"], np.array([[0.1]]))   # g1-p1
+    acc.update(["g2"], ["p1"], np.array([[0.1]]))   # g2-p1 (g1->p1 carried)
+    # both GTs present, one prediction: first in GT order keeps the carry,
+    # the other is a miss (no free prediction left for the Hungarian step)
+    acc.update(["g1", "g2"], ["p1"], np.array([[0.1], [0.1]]))
+    m = acc.metrics
+    assert acc.num_matches == 3
+    assert (acc.num_miss, acc.num_fp, acc.num_switches) == (1, 0, 0)
+    np.testing.assert_allclose(m["mota"], 75.0)
+    np.testing.assert_allclose(m["motp"], 90.0)
+
+
 def test_mot_golden_miss_fp_counting():
     from snipper_tpu.eval.posetrack_eval import MOTAccumulator
 

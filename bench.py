@@ -87,9 +87,14 @@ def main():
             outs = [fwd(x)["pred_logits"] for _ in range(K)]
             np.asarray(outs[-1][..., :1].astype(jnp.float32))
             sps = max(sps, K / (time.perf_counter() - t0))
-        except Exception:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001
             # transient tunnel error: keep a valid earlier pass; rethrow
-            # only if NO pass succeeded (the metric would be meaningless)
+            # only if NO pass succeeded (the metric would be meaningless).
+            # Stderr note so a best-of-ONE run is distinguishable.
+            import sys
+
+            print(f"bench: inference pass {attempt} failed "
+                  f"({type(e).__name__}); best-of-remaining", file=sys.stderr)
             if sps == 0.0 and attempt == 1:
                 raise
 

@@ -9,7 +9,7 @@ import argparse
 import dataclasses
 import os
 
-from snipper_tpu.config import Config
+from snipper_tpu.config import Config, PRESETS
 
 
 def respect_platform_env():
@@ -39,11 +39,8 @@ def add_config_args(parser: argparse.ArgumentParser):
 
 def add_data_args(parser: argparse.ArgumentParser):
     parser.add_argument("--preset", type=str, default=None,
-                        help="Config preset: canonical_t4, canonical_t4_f2, "
-                             "canonical_t1, light_t4_f2, light_t4, "
-                             "light_t1, jta_forecast, panoptic, tiny "
-                             "(one per shipped reference checkpoint + "
-                             "recipes)")
+                        help=f"Config preset: {', '.join(PRESETS)} (one per "
+                             "shipped reference checkpoint + recipes)")
     parser.add_argument("--posetrack_dir", type=str, default=None)
     parser.add_argument("--coco_dir", type=str, default=None)
     parser.add_argument("--muco_dir", type=str, default=None)
@@ -70,8 +67,6 @@ def add_data_args(parser: argparse.ArgumentParser):
 
 def build_config(args) -> Config:
     if args.preset:
-        from snipper_tpu.config import PRESETS
-
         if args.preset not in PRESETS:
             raise SystemExit(f"unknown preset {args.preset!r}; choose from: "
                              f"{', '.join(PRESETS)}")
@@ -83,7 +78,11 @@ def build_config(args) -> Config:
         v = getattr(args, f.name, None)
         if v is not None:
             overrides[f.name] = v
-    return cfg.replace(**overrides).validate()
+    try:
+        return cfg.replace(**overrides).validate()
+    except ValueError as e:
+        # same clean one-line exit as a preset typo, not a raw traceback
+        raise SystemExit(str(e)) from e
 
 
 def build_dataset(cfg: Config, args, mode: str):

@@ -32,9 +32,9 @@ def main():
     parser.add_argument("--seq_gap", type=int, default=5)
     parser.add_argument("--save_visuals", action="store_true")
     parser.add_argument("--data_parallel", action="store_true",
-                        help="shard snippets one-per-chip over the device "
-                             "mesh (snippets are independent; per-chip "
-                             "batch 1 is optimal)")
+                        help="shard snippets over the device mesh (snippets "
+                             "are independent; composes with "
+                             "--snippet_batch for per-chip batching)")
     parser.add_argument("--device_preprocess", action="store_true",
                         help="warp/normalize frames on the TPU (fused XLA "
                              "preprocessing graph); host only decodes")
@@ -46,6 +46,8 @@ def main():
                              "overhead amortized; BASELINE.md)")
     parser.add_argument("--preset", type=str, default="canonical_t4")
     args = parser.parse_args()
+    if args.snippet_batch < 1:
+        parser.error("--snippet_batch must be >= 1")
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
     cfg = build_config(args)
@@ -107,107 +109,66 @@ def main():
 
     results = []
     if args.data_parallel and jax.device_count() > 1:
-        # snippets are independent: shard one snippet per chip (per-chip
-        # batch 1 is optimal on v5e — batch scaling is negative)
+        # snippets are independent: shard them over the mesh (reference
+        # loops serially at batch 1, inference.py:141-189); --snippet_batch
+        # sets the per-chip batch (canonical configs are compute-bound,
+        # light_t1 gains ~1.4-1.6x at 4 — BASELINE.md)
         from snipper_tpu.infer.pipeline import make_data_parallel_forward
         from snipper_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(dp_size=-1, tp_size=1)
         dp = mesh.shape["data"]
 
-        def build_run(c):
+        def build_fwd(c):
             nonlocal model
             model, _ = init_model(c, jax.random.PRNGKey(0))
             return make_data_parallel_forward(model, params, mesh)[0]
+    else:
+        dp = 1
 
-        # exactness checked on EVERY group (offsets are input-dependent;
-        # any snippet can overflow the window margin, not just the first)
-        guard = ExactnessGuard(cfg, build_run)
-        gsz = dp * max(1, args.snippet_batch)   # per-chip batch via B = dp*b
+        def build_fwd(c):
+            nonlocal model
+            model, _ = init_model(c, jax.random.PRNGKey(0))
+            jitted = jax.jit(lambda p, x: model.apply({"params": p}, x))
+            return lambda x: jitted(params, x)
+
+    # exactness checked on EVERY dispatch (offsets are input-dependent;
+    # any snippet can overflow the window margin, not just the first)
+    guard = ExactnessGuard(cfg, build_fwd)
+    gsz = dp * args.snippet_batch   # snippets per dispatch (B = dp * batch)
+    if dp > 1:
         print(f"data-parallel inference over {dp} devices "
               f"(batch {gsz // dp}/chip)", flush=True)
-        done = False
-        while not done:
-            group = []
-            for s in sample_iter:
-                if first_sample is None:
-                    first_sample = s
-                group.append(s)
-                if len(group) == gsz:
-                    break
-            else:
-                done = True
-            if not group:
-                break
-            # (with --device_preprocess this round-trips the warped frames
-            # through the host once per group to assemble the sharded batch
-            # — negligible next to decode on PCIe-attached hosts)
-            imgs = np.stack([np.asarray(to_device(s)) for s in group])
-            n = imgs.shape[0]
-            if n < gsz:  # pad the tail group; padded outputs are dropped
-                imgs = np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], gsz - n, 0)], 0)
-            out = guard(imgs)
-            cfg = guard.cfg
-            logits = np.asarray(out["pred_logits"])
-            kpts = np.asarray(out["pred_kpts2d"])
-            depth = np.asarray(out["pred_depth"])
-            for b, s in enumerate(group):
-                results.append(decode_one(logits[b], kpts[b], depth[b], s))
-    elif args.snippet_batch > 1:
-        # single chip, several snippets per dispatch: amortizes the ~4 ms
-        # per-dispatch overhead — a win only where compute per snippet is
-        # small (light_t1 ~1.4-1.6x; canonical configs are flat)
-        def build_fwd(c):
-            nonlocal model
-            model, _ = init_model(c, jax.random.PRNGKey(0))
-            jitted = jax.jit(lambda p, x: model.apply({"params": p}, x))
-            return lambda x: jitted(params, x)
-
-        guard = ExactnessGuard(cfg, build_fwd)
-        bsz = args.snippet_batch
-        done = False
-        while not done:
-            group = []
-            for s in sample_iter:
-                if first_sample is None:
-                    first_sample = s
-                group.append(s)
-                if len(group) == bsz:
-                    break
-            else:
-                done = True
-            if not group:
-                break
-            imgs = np.stack([np.asarray(to_device(s)) for s in group])
-            if imgs.shape[0] < bsz:  # pad tail; padded outputs dropped
-                imgs = np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], bsz - imgs.shape[0], 0)], 0)
-            out = guard(imgs)
-            cfg = guard.cfg
-            logits = np.asarray(out["pred_logits"])
-            kpts = np.asarray(out["pred_kpts2d"])
-            depth = np.asarray(out["pred_depth"])
-            for b, s in enumerate(group):
-                results.append(decode_one(logits[b], kpts[b], depth[b], s))
-    else:
-        def build_fwd(c):
-            nonlocal model
-            model, _ = init_model(c, jax.random.PRNGKey(0))
-            jitted = jax.jit(lambda p, x: model.apply({"params": p}, x))
-            return lambda x: jitted(params, x)
-
-        # exactness checked on EVERY snippet (offsets are input-dependent;
-        # any snippet can overflow the window margin, not just the first)
-        guard = ExactnessGuard(cfg, build_fwd)
+    done = False
+    while not done:
+        group = []
         for s in sample_iter:
             if first_sample is None:
                 first_sample = s
-            out = guard(to_device(s)[None])
-            cfg = guard.cfg
-            results.append(decode_one(np.asarray(out["pred_logits"][0]),
-                                      np.asarray(out["pred_kpts2d"][0]),
-                                      np.asarray(out["pred_depth"][0]), s))
+            group.append(s)
+            if len(group) == gsz:
+                break
+        else:
+            done = True
+        if not group:
+            break
+        if gsz == 1:
+            imgs = to_device(group[0])[None]  # no host round-trip at B=1
+        else:
+            # (with --device_preprocess this round-trips the warped frames
+            # through the host once per group to assemble the batch —
+            # negligible next to decode on PCIe-attached hosts)
+            imgs = np.stack([np.asarray(to_device(s)) for s in group])
+            if imgs.shape[0] < gsz:  # pad the tail; padded outputs dropped
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], gsz - imgs.shape[0], 0)], 0)
+        out = guard(imgs)
+        cfg = guard.cfg
+        logits = np.asarray(out["pred_logits"])
+        kpts = np.asarray(out["pred_kpts2d"])
+        depth = np.asarray(out["pred_depth"])
+        for b, s in enumerate(group):
+            results.append(decode_one(logits[b], kpts[b], depth[b], s))
 
     frames, max_pid = associate_snippets(
         results, frame_indices, all_files, cfg.num_frames, args.seq_gap,

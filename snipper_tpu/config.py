@@ -262,7 +262,9 @@ class Config:
 
 
 # preset registry for CLI lookup/error messages (one per shipped reference
-# checkpoint + the two recipe configs + the test config)
-PRESETS = ("canonical_t4", "canonical_t4_f2", "canonical_t1",
-           "light_t4_f2", "light_t4", "light_t1",
-           "jta_forecast", "panoptic", "tiny")
+# checkpoint + the two recipe configs + the test config). Derived from the
+# class so a new preset staticmethod is registered automatically — the
+# presets are Config's only staticmethods.
+PRESETS = tuple(name for name, member in vars(Config).items()
+                if isinstance(member, staticmethod)
+                and not name.startswith("_"))

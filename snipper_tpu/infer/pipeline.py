@@ -259,11 +259,13 @@ def make_data_parallel_forward(model, params, mesh):
     """Data-parallel inference over a device mesh.
 
     Snippets are independent (the reference loops them serially at batch 1,
-    ``inference.py:141-189``) and per-chip batch-1 is optimal on v5e
-    (batch scaling is negative, BASELINE.md), so multi-chip serving shards
-    a batch of ``mesh['data']-size`` snippets one-per-chip: params
-    replicated, batch sharded over ``data``, XLA runs each shard
-    independently (no collectives in the forward).
+    ``inference.py:141-189``), so multi-chip serving shards a batch of
+    ``B = dp * per_chip_batch`` snippets over the ``data`` axis: params
+    replicated, batch sharded, XLA runs each shard independently (no
+    collectives in the forward). Per-chip batch 1 is optimal for the
+    compute-bound canonical configs (batch scaling flat/negative), while
+    the cheap configs gain from per-chip batching (light_t1 ~1.4-1.6x at
+    batch 4 — dispatch overhead amortized; BASELINE.md).
 
     Returns ``(run, dp_size)`` where ``run(imgs [B, T, H, W, 3]) -> out``
     requires ``B % dp_size == 0``.

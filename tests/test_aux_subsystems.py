@@ -83,6 +83,20 @@ def test_presets_cover_reference_checkpoint_matrix():
     assert Config.panoptic().num_queries == 20
 
 
+def test_preset_registry_derivation():
+    """PRESETS is derived from Config's staticmethods: exactly the nine
+    presets, every entry buildable + valid (a stray helper staticmethod on
+    Config would leak into the CLI registry — this pins the set)."""
+    from snipper_tpu.config import PRESETS
+
+    assert set(PRESETS) == {
+        "canonical_t4", "canonical_t4_f2", "canonical_t1",
+        "light_t4_f2", "light_t4", "light_t1",
+        "jta_forecast", "panoptic", "tiny"}
+    for name in PRESETS:
+        assert isinstance(getattr(Config, name)(), Config)
+
+
 def test_config_validate():
     """validate(): presets all pass; bad combinations produce readable
     errors naming the offending field (no mid-trace shape errors)."""

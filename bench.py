@@ -37,9 +37,42 @@ import numpy as np
 A100_BASELINE_SNIPPETS_PER_SEC = 10.0  # estimate; see BASELINE.md
 
 
+def _wait_for_backend(attempts: int = 5, sleep_s: float = 60.0):
+    """Block until the TPU backend can run a trivial op.
+
+    The axon tunnel occasionally refuses new clients for a window of
+    minutes (``Unable to initialize backend 'axon': UNAVAILABLE``, e.g.
+    right after another client disconnected uncleanly). A benchmark that
+    dies on that transient would record no number for the whole round, so
+    retry the first tiny op a few times before giving up.
+    """
+    import sys
+
+    import jax.numpy as jnp
+
+    for attempt in range(attempts):
+        try:
+            np.asarray(jnp.zeros((1,)))
+            return
+        except Exception as e:  # noqa: BLE001 - backend init errors vary
+            if attempt == attempts - 1:
+                raise
+            print(f"bench: backend not ready ({type(e).__name__}: {e}); "
+                  f"retry {attempt + 1}/{attempts - 1} in {sleep_s:.0f}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+        # jax caches a failed backend init; clear so the retry re-dials
+        # the tunnel instead of replaying the cached failure
+        import jax.extend as jex
+
+        jex.backend.clear_backends()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_backend()
 
     from snipper_tpu.config import Config
     from snipper_tpu.models.snipper import init_model

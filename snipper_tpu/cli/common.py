@@ -16,12 +16,27 @@ def respect_platform_env():
     """Honor ``JAX_PLATFORMS`` even when a sitecustomize pins
     ``jax_platforms`` via the config API (which silently overrides the env
     var): ``JAX_PLATFORMS=cpu python -m snipper_tpu.cli...`` must actually
-    run on CPU. Call at the top of every CLI ``main()``."""
+    run on CPU. Call at the top of every CLI ``main()``.
+
+    Also enables the persistent XLA compilation cache when
+    ``SNIPPER_COMPILATION_CACHE=<dir>`` is set: TPU compiles of the
+    canonical configs cost 20-300 s per process start, and serving/eval
+    restarts re-pay them — the on-disk cache makes warm restarts near-
+    instant (the reference has no analog; PyTorch eager has no compile)."""
     env = os.environ.get("JAX_PLATFORMS")
     if env:
         import jax
 
         jax.config.update("jax_platforms", env)
+    cache_dir = os.environ.get("SNIPPER_COMPILATION_CACHE")
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every jitted program, not just the >1 s default cutoff
+        # (the CLIs compile a handful of programs; disk cost is small)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def add_config_args(parser: argparse.ArgumentParser):

@@ -34,6 +34,11 @@ def main():
     add_config_args(parser)
     add_data_args(parser)
     parser.add_argument("--eval_every", type=int, default=1)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace of a few "
+                             "steady-state steps of the FIRST epoch into "
+                             "this directory and print the top device ops")
+    parser.add_argument("--profile_steps", type=int, default=3)
     parser.add_argument("--mixed_precision",
                         action=argparse.BooleanOptionalAction, default=True,
                         help="bf16 activations with f32 master weights/"
@@ -98,7 +103,9 @@ def main():
             step, state, train_loader, epoch, rng, lr_fn=lr_fn,
             put_batch=lambda b: shard_batch(b, mesh),
             stop_flag=lambda: guard.should_stop,
-            max_steps=args.steps_per_epoch)
+            max_steps=args.steps_per_epoch,
+            profile_dir=args.profile_dir if epoch == start_epoch else None,
+            profile_steps=args.profile_steps)
         ckpt = save_checkpoint(os.path.join(args.output_dir, "ckpts"),
                                {"params": state.params,
                                 "opt_state": state.opt_state,

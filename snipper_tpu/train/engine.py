@@ -32,10 +32,18 @@ def _to_device_batch(batch: Dict) -> Dict:
 def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
                     print_freq: int = 10, lr_fn=None,
                     put_batch=None, stop_flag=None,
-                    max_steps: Optional[int] = None) -> tuple:
+                    max_steps: Optional[int] = None,
+                    profile_dir: Optional[str] = None,
+                    profile_steps: int = 3) -> tuple:
     """``max_steps``: truncate the epoch after N steps (smoke runs; the
-    full loader length is used when None)."""
+    full loader length is used when None).
+
+    ``profile_dir``: capture a ``jax.profiler`` device trace of
+    ``profile_steps`` steady-state steps (starting at step 2, after the
+    compile step and one warm step) and print the top device ops by time
+    (the reference has no profiler, SURVEY.md §5 — wall-clock only)."""
     logger = MetricLogger()
+    profiling = False
     header = f"Epoch: [{epoch}]"
     iterable = loader
     if put_batch is not None:
@@ -53,11 +61,20 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             print("preemption signal received — stopping epoch early",
                   flush=True)
             break
+        if profile_dir is not None and i == 2 and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + i)
         dev_batch = batch if put_batch is not None else _to_device_batch(
             batch)
         state, metrics = step_fn(state, dev_batch, rng)
         loss = float(metrics["loss_total"])
+        if profiling and i + 1 >= 2 + profile_steps:
+            # the float() above synced the step; the trace covers
+            # profile_steps completed steady-state steps
+            jax.profiler.stop_trace()
+            profiling = False
+            _print_trace_summary(profile_dir, profile_steps)
         if not np.isfinite(loss):
             print(f"Loss is {loss}, stopping training", flush=True)
             print({k: float(v) for k, v in metrics.items()}, flush=True)
@@ -71,8 +88,20 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
         logger.update(**{k: float(v) for k, v in metrics.items()})
         if lr_fn is not None:
             logger.update(lr=float(lr_fn(int(state.step))))
+    if profiling:  # epoch ended before the profile window filled
+        jax.profiler.stop_trace()
+        _print_trace_summary(profile_dir, profile_steps)
     print("Averaged stats:", logger, flush=True)
     return state, {k: m.global_avg for k, m in logger.meters.items()}
+
+
+def _print_trace_summary(profile_dir: str, n_iters: int):
+    from snipper_tpu.utils.profiling import summarize_trace
+
+    top = summarize_trace(profile_dir, top_k=10, n_iters=max(n_iters, 1))
+    print(f"profile trace written to {profile_dir}", flush=True)
+    for src, ms in top.items():
+        print(f"  {ms:8.2f} ms/step  {src}", flush=True)
 
 
 def _local_shard(x) -> np.ndarray:

@@ -34,6 +34,8 @@ def summarize_trace(log_dir: str, top_k: int = 15,
     pids = {e["pid"]: e["args"].get("name", "") for e in tr["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     device_pids = {p for p, n in pids.items() if "TPU" in n or "GPU" in n}
+    if not device_pids:  # CPU-platform trace: one '/host:CPU' process
+        device_pids = {p for p, n in pids.items() if "CPU" in n}
     agg: Dict[str, float] = collections.Counter()
     for e in tr["traceEvents"]:
         if (e.get("ph") != "X" or e.get("pid") not in device_pids

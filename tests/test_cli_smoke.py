@@ -22,11 +22,14 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     out = str(tmp_path / "run")
     from snipper_tpu.cli import train as train_cli
 
+    monkeypatch.setenv("SNIPPER_COMPILATION_CACHE",
+                       str(tmp_path / "ccache"))
     _run_main(train_cli, [
         "train", "--preset", "tiny", "--synthetic", "--epochs", "1",
-        "--steps_per_epoch", "2", "--no-mixed_precision",  # f32: bf16 is
+        "--steps_per_epoch", "4", "--no-mixed_precision",  # f32: bf16 is
         # emulated (slow) on the CPU mesh; the default mp path is covered by
         # test_mixed_precision_matches_f32_losses
+        "--profile_dir", str(tmp_path / "trace"), "--profile_steps", "1",
         "--output_dir", out], monkeypatch)
 
     # per-epoch artifacts: checkpoint + JSON-lines log (reference
@@ -37,6 +40,13 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     assert "train_loss_total" in rec and rec["epoch"] == 0
     ckpts = os.listdir(os.path.join(out, "ckpts"))
     assert any(c.startswith("checkpoint") for c in ckpts)
+    # --profile_dir captured a device trace of the steady-state steps
+    import glob
+
+    assert glob.glob(str(tmp_path / "trace" /
+                         "plugins/profile/*/*.trace.json.gz"))
+    # SNIPPER_COMPILATION_CACHE populated the persistent XLA cache
+    assert os.listdir(tmp_path / "ccache")
 
     from snipper_tpu.cli import eval as eval_cli
 
@@ -51,7 +61,7 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     # restore and the loop continues at epoch 1 (reference main.py:242-248)
     _run_main(train_cli, [
         "train", "--preset", "tiny", "--synthetic", "--epochs", "2",
-        "--steps_per_epoch", "2", "--no-mixed_precision",
+        "--steps_per_epoch", "4", "--no-mixed_precision",
         "--resume", ck, "--output_dir", out], monkeypatch)
     epochs_logged = [json.loads(ln)["epoch"] for ln in open(log)]
     assert 1 in epochs_logged, epochs_logged

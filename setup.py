@@ -13,18 +13,17 @@ from setuptools.command.build_ext import build_ext
 
 
 class OptionalBuildExt(build_ext):
-    """Build the native extension if a toolchain exists; warn otherwise."""
+    """Build the native extension if a toolchain exists; warn otherwise.
 
-    def run(self):
-        try:
-            super().run()
-        except Exception as e:  # noqa: BLE001 - any toolchain failure
-            self._warn(e)
+    Scope the catch to the single extension build (``optional=True``
+    already makes compiler errors non-fatal; this adds a loud, actionable
+    warning) — a broader catch around ``run()`` would also swallow real
+    packaging bugs as "toolchain missing"."""
 
     def build_extension(self, ext):
         try:
             super().build_extension(ext)
-        except Exception as e:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001 - toolchain/compile failure
             self._warn(e)
 
     @staticmethod

@@ -155,10 +155,16 @@ def main():
         if gsz == 1:
             imgs = to_device(group[0])[None]  # no host round-trip at B=1
         else:
-            # (with --device_preprocess this round-trips the warped frames
-            # through the host once per group to assemble the batch —
-            # negligible next to decode on PCIe-attached hosts)
-            imgs = np.stack([np.asarray(to_device(s)) for s in group])
+            if args.device_preprocess:
+                # device-warped frames round-trip through the host once per
+                # group to assemble the batch — negligible next to decode on
+                # PCIe-attached hosts
+                imgs = np.stack([np.asarray(to_device(s)) for s in group])
+            else:
+                # host-warped frames are already numpy: stack and upload
+                # ONCE (uploading each snippet then reading it back would
+                # triple the transfer volume)
+                imgs = np.stack([s["imgs"] for s in group])
             if imgs.shape[0] < gsz:  # pad the tail; padded outputs dropped
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], gsz - imgs.shape[0], 0)], 0)

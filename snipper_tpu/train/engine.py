@@ -44,6 +44,29 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
     (the reference has no profiler, SURVEY.md §5 — wall-clock only)."""
     logger = MetricLogger()
     profiling = False
+    profiled = 0        # steps completed inside the trace window
+    profile_start = 2   # skip the compile step and one warm step
+    if profile_dir is not None:
+        n_total = max_steps
+        if n_total is None:
+            try:
+                n_total = len(loader)
+            except TypeError:
+                n_total = None
+        if n_total is not None and n_total < profile_start + profile_steps:
+            # short epoch: still produce a trace rather than silently none
+            profile_start = max(n_total - profile_steps, 0)
+            print(f"profile window clamped to start at step {profile_start} "
+                  "(short epoch — the trace may include compile/warm steps)",
+                  flush=True)
+
+    def _finish_profile():
+        nonlocal profiling
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            _print_trace_summary(profile_dir, profiled)
+
     header = f"Epoch: [{epoch}]"
     iterable = loader
     if put_batch is not None:
@@ -61,7 +84,7 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             print("preemption signal received — stopping epoch early",
                   flush=True)
             break
-        if profile_dir is not None and i == 2 and not profiling:
+        if profile_dir is not None and i == profile_start and not profiling:
             jax.profiler.start_trace(profile_dir)
             profiling = True
         rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + i)
@@ -69,28 +92,26 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             batch)
         state, metrics = step_fn(state, dev_batch, rng)
         loss = float(metrics["loss_total"])
-        if profiling and i + 1 >= 2 + profile_steps:
-            # the float() above synced the step; the trace covers
-            # profile_steps completed steady-state steps
-            jax.profiler.stop_trace()
-            profiling = False
-            _print_trace_summary(profile_dir, profile_steps)
+        if profiling:
+            profiled += 1   # the float() above synced this step
+            if profiled >= profile_steps:
+                _finish_profile()
         if not np.isfinite(loss):
+            _finish_profile()  # keep the trace of the steps that blew up
             print(f"Loss is {loss}, stopping training", flush=True)
             print({k: float(v) for k, v in metrics.items()}, flush=True)
             sys.exit(1)
         if float(metrics.get("sampling_overflow", 0.0)) > 0:
             # windowed sampling dropped taps: gradients are not exact —
             # abort rather than train on silently-corrupted gradients
+            _finish_profile()
             print("sampling_overflow > 0: windowed sampling dropped taps; "
                   "retrain with deform_impl='xla' (exact)", flush=True)
             sys.exit(1)
         logger.update(**{k: float(v) for k, v in metrics.items()})
         if lr_fn is not None:
             logger.update(lr=float(lr_fn(int(state.step))))
-    if profiling:  # epoch ended before the profile window filled
-        jax.profiler.stop_trace()
-        _print_trace_summary(profile_dir, profile_steps)
+    _finish_profile()  # epoch ended before the window filled
     print("Averaged stats:", logger, flush=True)
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 

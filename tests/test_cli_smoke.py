@@ -22,15 +22,30 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     out = str(tmp_path / "run")
     from snipper_tpu.cli import train as train_cli
 
+    # SNIPPER_COMPILATION_CACHE is applied via jax.config (process-global,
+    # not restored by monkeypatch) — snapshot and restore so later tests
+    # don't silently write compile-cache entries into this tmp dir
+    import jax
+
+    cache_flags = ("jax_compilation_cache_dir",
+                   "jax_persistent_cache_min_compile_time_secs",
+                   "jax_persistent_cache_min_entry_size_bytes")
+    prev = {name: getattr(jax.config, name) for name in cache_flags}
     monkeypatch.setenv("SNIPPER_COMPILATION_CACHE",
                        str(tmp_path / "ccache"))
-    _run_main(train_cli, [
-        "train", "--preset", "tiny", "--synthetic", "--epochs", "1",
-        "--steps_per_epoch", "4", "--no-mixed_precision",  # f32: bf16 is
-        # emulated (slow) on the CPU mesh; the default mp path is covered by
-        # test_mixed_precision_matches_f32_losses
-        "--profile_dir", str(tmp_path / "trace"), "--profile_steps", "1",
-        "--output_dir", out], monkeypatch)
+    try:
+        _run_main(train_cli, [
+            "train", "--preset", "tiny", "--synthetic", "--epochs", "1",
+            "--steps_per_epoch", "4", "--no-mixed_precision",  # f32: bf16
+            # is emulated (slow) on the CPU mesh; the default mp path is
+            # covered by test_mixed_precision_matches_f32_losses
+            "--profile_dir", str(tmp_path / "trace"),
+            "--profile_steps", "1",
+            "--output_dir", out], monkeypatch)
+    finally:
+        monkeypatch.delenv("SNIPPER_COMPILATION_CACHE")
+        for name, val in prev.items():
+            jax.config.update(name, val)
 
     # per-epoch artifacts: checkpoint + JSON-lines log (reference
     # main.py:260-339)

@@ -124,9 +124,12 @@ def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_dets: int):
     if not gts and not dts:
         return np.zeros(0), np.zeros((len(OKS_THRESHOLDS), 0)), \
             np.zeros((len(OKS_THRESHOLDS), 0), bool), 0
+    # pycocotools ignores area < lo OR area > hi — both bounds INCLUSIVE
+    # (cocoeval.py evaluateImg), so e.g. area == 96^2 counts in both the
+    # medium and large ranges
     gt_ig = np.array([
         1 if (_gt_ignore(g) or not (area_rng[0] <= g.get("area", 1e9)
-                                    < area_rng[1]))
+                                    <= area_rng[1]))
         else 0 for g in gts])
     # sort: non-ignore GTs first (stable), as COCOeval does
     gorder = np.argsort(gt_ig, kind="stable")
@@ -169,7 +172,7 @@ def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_dets: int):
             dtm[ti, di] = 1 + m
             gtm[ti, m] = 1 + di
     # unmatched detections outside the area range are ignored too
-    a_out = (dt_areas < area_rng[0]) | (dt_areas >= area_rng[1])
+    a_out = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
     dt_ig = dt_ig | ((dtm == 0) & a_out[None, :])
     return (np.array([d["score"] for d in dts]), dtm, dt_ig,
             int((gt_ig == 0).sum()))

@@ -152,10 +152,16 @@ def assign_frame(gt: Frame, pred: Frame, dist_thresh: float = 0.5):
                 if has_pr[p, j]:
                     scores[j].append(score[p, j])
                     labels[j].append(False)
+        # same per-joint presence filtering as the main branch: a pose only
+        # enters joint j's MOT containers when joint j is annotated (GT) /
+        # present (pred) — otherwise sparsely-annotated joints would be
+        # counted as misses/FPs only in GT-empty or pred-empty frames
         for j in range(J):
-            mot[j] = {"gt_ids": gt.track_ids.tolist() if n_gt_poses else [],
-                      "pr_ids": pred.track_ids.tolist() if n_pr_poses else [],
-                      "dist": np.full((n_gt_poses, n_pr_poses), np.nan)}
+            g_idx = np.where(has_gt[:, j])[0]
+            p_idx = np.where(has_pr[:, j])[0]
+            mot[j] = {"gt_ids": gt.track_ids[g_idx].tolist(),
+                      "pr_ids": pred.track_ids[p_idx].tolist(),
+                      "dist": np.full((len(g_idx), len(p_idx)), np.nan)}
         mot["pckh"] = (np.zeros(J, np.int64),
                        np.asarray(n_gt, np.int64))
     return scores, labels, n_gt, mot
@@ -264,26 +270,13 @@ class MOTAccumulator:
         }
 
 
-def evaluate_tracking(gt_frames: List[Frame], pred_frames: List[Frame],
-                      dist_thresh: float = 0.5) -> Dict[str, np.ndarray]:
-    """Per-joint MOTA/MOTP across sequences (reference evaluateTracking)."""
-    J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size),
-            default=15)
-    seqs = sorted({f.seq for f in gt_frames})
+def _aggregate_tracking(seq_accs: Dict[str, Dict[int, "MOTAccumulator"]],
+                        J: int) -> Dict[str, np.ndarray]:
+    """Sum per-(sequence, joint) accumulators into per-joint metrics."""
     accs = {j: MOTAccumulator() for j in range(J)}
-    for seq in seqs:
-        seq_accs = {j: MOTAccumulator() for j in range(J)}
-        for g, p in zip(gt_frames, pred_frames):
-            if g.seq != seq:
-                continue
-            _, _, _, mot = assign_frame(g, p, dist_thresh)
-            for j in range(J):
-                m = mot.get(j)
-                if m is None:
-                    continue
-                seq_accs[j].update(m["gt_ids"], m["pr_ids"], m["dist"])
+    for per_joint in seq_accs.values():
         for j in range(J):
-            a, s = accs[j], seq_accs[j]
+            a, s = accs[j], per_joint[j]
             a.num_gt += s.num_gt
             a.num_fp += s.num_fp
             a.num_miss += s.num_miss
@@ -295,6 +288,24 @@ def evaluate_tracking(gt_frames: List[Frame], pred_frames: List[Frame],
         vals = np.array([accs[j].metrics[key] for j in range(J)])
         out[key] = np.append(vals, _nanmean(vals))
     return out
+
+
+def evaluate_tracking(gt_frames: List[Frame], pred_frames: List[Frame],
+                      dist_thresh: float = 0.5) -> Dict[str, np.ndarray]:
+    """Per-joint MOTA/MOTP across sequences (reference evaluateTracking)."""
+    J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size),
+            default=15)
+    seq_accs: Dict[str, Dict[int, MOTAccumulator]] = {}
+    for g, p in zip(gt_frames, pred_frames):
+        _, _, _, mot = assign_frame(g, p, dist_thresh)
+        per_joint = seq_accs.setdefault(
+            g.seq, {j: MOTAccumulator() for j in range(J)})
+        for j in range(J):
+            m = mot.get(j)
+            if m is None:
+                continue
+            per_joint[j].update(m["gt_ids"], m["pr_ids"], m["dist"])
+    return _aggregate_tracking(seq_accs, J)
 
 
 def evaluate_pckh(gt_frames: List[Frame], pred_frames: List[Frame],
@@ -376,32 +387,48 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
         with open(pred_path) as f:
             pr = _frames_from_json(json.load(f), name, False)
         for img_id in sorted(gt):
+            if gt[img_id].kpts.shape[0] == 0:
+                # poseval drops GT-empty frames AND their predictions
+                # before scoring (eval_helpers.cleanupData, :281-289) —
+                # keeping them would count every prediction there as FPs
+                # the reference protocol never sees
+                continue
             gt_frames.append(gt[img_id])
             J = gt[img_id].kpts.shape[1] if gt[img_id].kpts.size else 17
             pr_frames.append(pr.get(img_id, Frame(
                 np.zeros((0, J, 3)), np.zeros(0, np.int64), seq=name)))
     out = {}
-    if eval_pose:
-        # ONE assignment pass serves both the AP and PCKh tables (the
-        # O(n_pr * n_gt * J) assignment is the cost; mot["pckh"] exists so
-        # it need not be recomputed)
-        J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size),
-                default=15)
-        all_s, all_l, all_n = [], [], []
-        correct = np.zeros(J, np.int64)
-        total = np.zeros(J, np.int64)
-        for g, p in zip(gt_frames, pr_frames):
-            s, l, n, mot = assign_frame(g, p)
+    if not (eval_pose or eval_tracking):
+        return out
+    # ONE assignment pass serves AP, PCKh, AND tracking (the
+    # O(n_pr * n_gt * J) per-frame assignment is the cost; mot carries
+    # everything each table needs)
+    J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size), default=15)
+    all_s, all_l, all_n = [], [], []
+    correct = np.zeros(J, np.int64)
+    total = np.zeros(J, np.int64)
+    seq_accs: Dict[str, Dict[int, MOTAccumulator]] = {}
+    for g, p in zip(gt_frames, pr_frames):
+        s, l, n, mot = assign_frame(g, p)
+        if eval_pose:
             all_s.append(s)
             all_l.append(l)
             all_n.append(n)
             c, t = mot["pckh"]
             correct[:len(c)] += c
             total[:len(t)] += t
+        if eval_tracking:
+            per_joint = seq_accs.setdefault(
+                g.seq, {j: MOTAccumulator() for j in range(J)})
+            for j in range(J):
+                m = mot.get(j)
+                if m is not None:
+                    per_joint[j].update(m["gt_ids"], m["pr_ids"], m["dist"])
+    if eval_pose:
         out["ap"] = compute_ap(all_s, all_l, all_n)
         with np.errstate(invalid="ignore", divide="ignore"):
             vals = 100.0 * correct / np.where(total > 0, total, np.nan)
         out["pckh"] = {"pckh": np.append(vals, _nanmean(vals))}
     if eval_tracking:
-        out["tracking"] = evaluate_tracking(gt_frames, pr_frames)
+        out["tracking"] = _aggregate_tracking(seq_accs, J)
     return out

@@ -53,26 +53,31 @@ def write_val_results(by_video: Dict[str, List[Dict]], posetrack_data: Dict,
     os.makedirs(output_dir, exist_ok=True)
     categories = posetrack_data.get("categories", [])
     for video_name, entries in by_video.items():
-        tmp_kpts = collections.defaultdict(list)
-        tmp_id = collections.defaultdict(list)
+        # filename -> traj_id -> [K, 3] predictions from each overlapping
+        # snippet. The reference stacks positionally and takes the FIRST
+        # snippet's traj_ids (hybrid_dataloader.py:1830-1833), which is
+        # sound only under its invariant that every snippet of a video
+        # carries the identical ordered person set; aligning by traj id
+        # gives the same score-weighted average there and stays correct
+        # when snippets observe different person subsets.
+        tmp = collections.defaultdict(lambda: collections.defaultdict(list))
         for e in entries:
             k = np.concatenate([e["pred_kpts"], e["pred_kpt_scores"]], -1)
-            tmp_kpts[e["filename"]].append(k)
-            tmp_id[e["filename"]].append(e["traj_ids"])
+            for i, pid in enumerate(np.asarray(e["traj_ids"]).tolist()):
+                tmp[e["filename"]][int(pid)].append(k[i])
 
         saved = {"categories": categories, "images": [], "annotations": []}
         for datum in posetrack_data[video_name]:
             info = datum.get("info", {"id": 0})
             saved["images"].append(info)
             fn = datum["filename"]
-            if fn not in tmp_kpts:
+            if fn not in tmp:
                 continue
-            stack = np.stack(tmp_kpts[fn])                  # [l, m, K, 3]
-            traj_ids = tmp_id[fn][0]
-            for i, pid in enumerate(traj_ids):
-                score = stack[:, i, :, 2:3].mean(0)
-                ssum = stack[:, i, :, 2:3].sum(0)
-                k = (stack[:, i, :, 0:2] * stack[:, i, :, 2:3]).sum(0) / (
+            for pid in sorted(tmp[fn]):
+                stack = np.stack(tmp[fn][pid])              # [l, K, 3]
+                score = stack[:, :, 2:3].mean(0)
+                ssum = stack[:, :, 2:3].sum(0)
+                k = (stack[:, :, 0:2] * stack[:, :, 2:3]).sum(0) / (
                     ssum + (ssum == 0))
                 pred = np.concatenate([k, score], -1)       # [K, 3]
                 pt18 = np.zeros((18, 3))

@@ -44,7 +44,16 @@ def postprocess(
         tgt = targets_list[i]
         max_depth = float(tgt["max_depth"])
         input_size = np.asarray(tgt["input_size"], np.float32)  # (w, h)
-        m = len(np.asarray(tgt["traj_ids"]))
+        # number of REAL persons: targets are padded to max_persons
+        # (data/snippet.py pad(), valid slots first) — forwarding padded
+        # slots would emit garbage predictions downstream (the reference's
+        # targets are unpadded lists, engine.py:385-441)
+        if "valid" in tgt:
+            m = int(np.asarray(tgt["valid"]).sum())
+        elif "n_persons" in tgt:
+            m = int(tgt["n_persons"])
+        else:
+            m = len(np.asarray(tgt["traj_ids"]))
 
         e = np.exp(logits[i] - logits[i].max(-1, keepdims=True))
         human_prob = (e / e.sum(-1, keepdims=True))[..., 1]     # [n, T]
@@ -74,11 +83,12 @@ def postprocess(
             "gt_bbxes_head": np.asarray(
                 tgt.get("bbxes_head", np.zeros((m, 1, 4))))[:m],
             "gt_track_ids": np.asarray(tgt["track_ids"])[:m],
-            "gt_traj_ids": np.asarray(tgt["traj_ids"]),
+            "gt_traj_ids": np.asarray(tgt["traj_ids"])[:m],
             "inv_trans": np.asarray(tgt["inv_trans"]),
             "input_size": input_size,
             "cam_intr": np.asarray(tgt.get("cam_intr", [0])),
-            "gt_pose3d": np.asarray(tgt.get("kpts3d", [0])),
+            "gt_pose3d": np.asarray(tgt["kpts3d"])[:m]
+            if "kpts3d" in tgt else np.asarray([0]),
             "dataset": tgt.get("dataset", ""),
             "filenames": tgt.get("filenames", []),
             "video_name": tgt.get("video_name", ""),

@@ -222,3 +222,15 @@ def test_writer_schema(tmp_path):
     assert len(anns) == 2
     assert len(anns[0]["keypoints"]) == 17 * 3
     assert anns[0]["image_id"] == 7
+
+
+def test_area_range_boundaries_inclusive():
+    """pycocotools ignores a GT only when area < lo or area > hi (BOTH
+    bounds inclusive, cocoeval.py evaluateImg): a GT with area exactly
+    96^2 counts in BOTH the medium and large ranges."""
+    from snipper_tpu.eval.coco_eval import AREA_RANGES, _evaluate_img
+
+    gt = _gt_ann(0, _kpts(50, 50), area=96.0 ** 2)
+    for rng_name in ("medium", "large"):
+        _, _, _, n_gt = _evaluate_img([gt], [], AREA_RANGES[rng_name], 20)
+        assert n_gt == 1, rng_name

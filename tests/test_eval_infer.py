@@ -137,3 +137,39 @@ def test_match_cost_and_bbox():
     pose[:, 3] = 1.0
     x, y, w, h = bbox_2d_padded(pose)
     assert w > 100 and h > 200  # padded beyond the raw extent
+
+
+def test_postprocess_slices_padded_target_slots():
+    """Targets are padded to max_persons (data/snippet.py); postprocess
+    must forward only the REAL persons (its docstring contract) — padded
+    slots would otherwise reach the PoseTrack writer as garbage
+    predictions with traj_id 0."""
+    from snipper_tpu.infer.postprocess import postprocess
+
+    n, T, K, M = 6, 2, 15, 4
+    rng = np.random.default_rng(0)
+    outputs = {
+        "pred_logits": rng.normal(size=(1, n, T, 2)),
+        "pred_kpts2d": rng.normal(size=(1, n, T, K, 3)),
+        "pred_depth": rng.normal(size=(1, n, T, K, 1)),
+    }
+    valid = np.array([True, True, False, False])
+    tgt = {
+        "kpts2d": rng.uniform(size=(M, T, K, 3)).astype(np.float32),
+        "depth": np.zeros((M, T, K, 2), np.float32),
+        "valid": valid,
+        "track_ids": np.ones((M, T), np.int32) * valid[:, None],
+        "traj_ids": np.array([5, 9, 0, 0], np.int32),
+        "kpts3d": rng.uniform(size=(M, T, K, 3)).astype(np.float32),
+        "max_depth": np.float32(15.0),
+        "input_size": np.array([96.0, 64.0], np.float32),
+        "inv_trans": np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32),
+        "dataset": "posetrack",
+    }
+    indices = np.array([[3, 1, 0, 2]])
+    res = postprocess(outputs, [tgt], indices)[0]
+    assert res["gt_kpts"].shape[0] == 2
+    assert res["gt_pose3d"].shape[0] == 2
+    assert list(res["gt_traj_ids"]) == [5, 9]
+    src, tgt_idx = res["indices"]
+    assert list(src) == [3, 1] and list(tgt_idx) == [0, 1]

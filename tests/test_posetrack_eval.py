@@ -229,3 +229,108 @@ def test_pckh_golden_vectors():
     empty = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64), seq=gt.seq)
     out = evaluate_pckh([gt], [empty])
     np.testing.assert_allclose(out["pckh"], 0.0)
+
+
+def test_assign_frame_per_joint_filtering_without_predictions():
+    """A GT pose annotated only at joint 0, with ZERO predictions: only
+    joint 0's MOT container gets the GT entry — the pred-empty branch must
+    apply the same per-joint presence filtering as the main branch, else
+    sparsely-annotated joints count misses only in prediction-empty
+    frames."""
+    from snipper_tpu.eval.posetrack_eval import assign_frame
+
+    kpts = np.zeros((1, J, 3))
+    kpts[0, 0] = [10.0, 10.0, 1.0]
+    gt = Frame(kpts, np.array([4]), head_sizes=np.array([50.0]))
+    pred = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64))
+    _, _, n_gt, mot = assign_frame(gt, pred)
+    assert list(n_gt) == [1] + [0] * (J - 1)
+    assert mot[0]["gt_ids"] == [4]
+    assert all(mot[j]["gt_ids"] == [] for j in range(1, J))
+
+
+def test_assign_frame_per_joint_filtering_without_gt():
+    """Zero GT poses, a prediction carrying only joint 2: it is an FP at
+    joint 2 only — not at every joint."""
+    from snipper_tpu.eval.posetrack_eval import assign_frame
+
+    k = np.full((1, J, 3), np.nan)
+    k[0, 2] = [5.0, 5.0, 0.9]
+    pred = Frame(k, np.array([1]))
+    gt = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64))
+    _, _, _, mot = assign_frame(gt, pred)
+    assert mot[2]["pr_ids"] == [1]
+    assert all(mot[j]["pr_ids"] == [] for j in range(J) if j != 2)
+
+
+def test_evaluate_posetrack18_drops_gt_empty_frames(tmp_path):
+    """poseval cleanupData parity (eval_helpers.py:281-289): frames whose
+    GT has no annotations are removed together with their predictions —
+    a prediction on such a frame must not count as a false positive."""
+    import json as json_mod
+    import os
+
+    from snipper_tpu.eval.posetrack_eval import evaluate_posetrack18
+
+    def kp(x, vis_or_score):
+        k = np.zeros((J, 3))
+        k[:, 0] = x + np.arange(J)
+        k[:, 1] = 100.0
+        k[:, 2] = vis_or_score
+        return k.reshape(-1).tolist()
+
+    gt = {"images": [{"id": 0}, {"id": 1}],
+          "annotations": [{"image_id": 0, "keypoints": kp(100, 1.0),
+                           "track_id": 0, "bbox_head": [0, 0, 30, 40]}]}
+    pred = {"images": [{"id": 0}, {"id": 1}],
+            "annotations": [
+                {"image_id": 0, "keypoints": kp(100, 0.9), "track_id": 0},
+                # spurious prediction on the GT-empty frame 1
+                {"image_id": 1, "keypoints": kp(500, 0.9), "track_id": 5}]}
+    os.makedirs(tmp_path / "gt")
+    os.makedirs(tmp_path / "pred")
+    for d, name, data in ((tmp_path / "gt", "v.json", gt),
+                          (tmp_path / "pred", "v.json", pred)):
+        with open(os.path.join(d, name), "w") as f:
+            json_mod.dump(data, f)
+    out = evaluate_posetrack18(str(tmp_path / "gt"), str(tmp_path / "pred"))
+    np.testing.assert_allclose(out["ap"]["ap"][J], 100.0)
+    np.testing.assert_allclose(out["tracking"]["mota"][J], 100.0)
+    np.testing.assert_allclose(out["pckh"]["pckh"][J], 100.0)
+
+
+def test_writer_aligns_overlapping_snippets_by_traj_id(tmp_path):
+    """Two snippets cover the same frame with DIFFERENT person sets
+    ({3,7} then {7}): the written annotations must average per traj id —
+    positional slot averaging (the reference's fixed-ordered-ids shortcut,
+    hybrid_dataloader.py:1830-1833) would silently mix person 3 into
+    person 7."""
+    import json as json_mod
+
+    from snipper_tpu.eval.posetrack_writer import write_val_results
+
+    K = 15
+    s = np.full((K, 1), 0.5)
+
+    def entry(filename, traj_ids, xs):
+        kp = np.stack([np.full((K, 2), float(x)) for x in xs])
+        return {"video_name": "v.json", "filename": filename,
+                "traj_ids": np.asarray(traj_ids),
+                "pred_kpts": kp,
+                "pred_kpt_scores": np.repeat(s[None], len(xs), 0)}
+
+    entries = [entry("f0.jpg", [3, 7], [10.0, 20.0]),
+               entry("f0.jpg", [7], [40.0])]
+    posetrack_data = {"categories": [],
+                      "v.json": [{"info": {"id": 0}, "filename": "f0.jpg"}]}
+    write_val_results({"v.json": entries}, posetrack_data, str(tmp_path))
+    with open(tmp_path / "v.json") as f:
+        data = json_mod.load(f)
+    anns = {a["track_id"]: a for a in data["annotations"]}
+    assert set(anns) == {3, 7}
+    k3 = np.asarray(anns[3]["keypoints"]).reshape(-1, 3)
+    k7 = np.asarray(anns[7]["keypoints"]).reshape(-1, 3)
+    # track 3 comes from snippet A alone; track 7 is the equal-score
+    # average of 20 and 40
+    np.testing.assert_allclose(k3[k3[:, 2] > 0, 0], 10.0)
+    np.testing.assert_allclose(k7[k7[:, 2] > 0, 0], 30.0)

@@ -211,7 +211,10 @@ class HybridDataset:
             hi = len(img_ids) - (self.t_total + 1) * seq_g
             step = seq_g if train else max((self.seq_l - 1) * seq_g, seq_g)
             for idx in range(0, max(hi, 0), step):
-                self.samples.append(("jta", seq, idx, subset, train))
+                # augment=False even in train mode: the reference lists
+                # every JTA sample with augmentation disabled
+                # (hybrid_dataloader.py:1564-1565 train, :1718 test)
+                self.samples.append(("jta", seq, idx, subset, False))
 
     # ------------------------------------------------------------ getters
     def __len__(self):
@@ -237,10 +240,17 @@ class HybridDataset:
         return getter(s)
 
     # -- shared helpers -----------------------------------------------
-    def _color_aug(self, patch: np.ndarray, color_scale) -> np.ndarray:
-        for c in range(3):
-            patch[:, :, c] = np.clip(patch[:, :, c] * color_scale[c], 0, 1)
-        return patch
+    def _pixel_bbxes(self, tgt: Dict) -> np.ndarray:
+        """[M, T1, 4] padded boxes in INPUT-PIXEL space from the normalized
+        trajectory keypoints (the reference computes boxes pre-normalization,
+        e.g. ``hybrid_dataloader.py:343``, so bbxes are pixel-unit
+        everywhere)."""
+        h, w = self.input_shape
+        k = tgt["kpts2d"].copy()
+        k[..., 0] *= w
+        k[..., 1] *= h
+        return np.stack([bbox_2d_padded_batch(k[:, t])
+                         for t in range(self.t_total)], 1)
 
     def _finalize(self, imgs: List[np.ndarray], tgt: Dict, inv_trans,
                   dataset: str, filenames, cam_intr=None, image_id=0,
@@ -305,9 +315,7 @@ class HybridDataset:
         tgt = build_trajectories(kpts_n, ids, self.seq_l,
                                  self.cfg.max_persons,
                                  extras={"bbxes_head": heads})
-        tgt["bbxes"] = np.stack(
-            [bbox_2d_padded_batch(tgt["kpts2d"][:, t])
-             for t in range(self.t_total)], 1)
+        tgt["bbxes"] = self._pixel_bbxes(tgt)
         return self._finalize(imgs, tgt, inv_trans, "posetrack", filenames,
                               video_name=fn, frame_indices=indice)
 
@@ -368,9 +376,7 @@ class HybridDataset:
         extras = {"depth": depth_list} if depth_list else None
         tgt = build_trajectories(kpts_list, [ids] * self.t_total, self.seq_l,
                                  self.cfg.max_persons, extras=extras)
-        tgt["bbxes"] = np.stack(
-            [bbox_2d_padded_batch(tgt["kpts2d"][:, t])
-             for t in range(self.t_total)], 1)
+        tgt["bbxes"] = self._pixel_bbxes(tgt)
         return self._finalize(imgs, tgt, inv_l[0], name, [filename],
                               image_id=image_id)
 
@@ -402,20 +408,22 @@ class HybridDataset:
             (img_w, img_h), self.input_shape, augment, self.rng)
         imgs = [warp_patch(f, trans, self.input_shape, do_flip, color)
                 for f in frames]
-        kpts_n, depths = [], []
+        kpts_n, depths, k3_l = [], [], []
         for k, k3 in zip(kpts, k3s):
             if do_flip:
+                # keep the 3D GT joint order consistent with the flipped
+                # 2D/depth targets (rebinding the loop variable would leave
+                # the original unflipped list feeding the extras)
                 k3 = k3[:, FLIP_JOINTS, :]
             kpts_n.append(transform_frame_kpts(k, do_flip, img_w, trans,
                                                self.input_shape))
             d = k3[:, :, 2] / self.max_depth
             depths.append(np.stack([d, np.ones_like(d)], -1))
+            k3_l.append(k3)
         tgt = build_trajectories(kpts_n, ids, self.seq_l,
                                  self.cfg.max_persons,
-                                 extras={"depth": depths, "kpts3d": k3s})
-        tgt["bbxes"] = np.stack(
-            [bbox_2d_padded_batch(tgt["kpts2d"][:, t])
-             for t in range(self.t_total)], 1)
+                                 extras={"depth": depths, "kpts3d": k3_l})
+        tgt["bbxes"] = self._pixel_bbxes(tgt)
         return self._finalize(imgs, tgt, inv_trans, "mupots", filenames,
                               cam_intr=cam_intr, image_id=img_id)
 

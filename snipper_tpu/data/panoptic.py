@@ -21,7 +21,7 @@ import numpy as np
 
 from snipper_tpu.data.camera import project
 from snipper_tpu.data.skeleton import NUM_JOINTS
-from snipper_tpu.data.snippet import bbox_2d_padded_batch, build_trajectories
+from snipper_tpu.data.snippet import build_trajectories
 
 PROTOCOL1_TEST_SEQS = [
     "170221_haggling_b1", "170221_haggling_b2", "170221_haggling_b3",
@@ -124,9 +124,7 @@ def get_panoptic_sample(ds, sample) -> Dict:
 
     tgt = build_trajectories(kpts_l, ids_l, ds.seq_l, ds.cfg.max_persons,
                              extras={"depth": depths, "kpts3d": k3_l})
-    tgt["bbxes"] = np.stack(
-        [bbox_2d_padded_batch(tgt["kpts2d"][:, t]) for t in range(ds.t_total)],
-        1)
+    tgt["bbxes"] = ds._pixel_bbxes(tgt)
     out = ds._finalize(imgs, tgt, np.zeros((2, 3), np.float32), "panoptic",
                        filenames, cam_intr=cam_intr, image_id=frame_idx,
                        frame_indices=frame_indices)

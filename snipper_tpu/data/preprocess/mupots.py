@@ -73,8 +73,14 @@ def extract(dataset_path: str, out_path: str):
         rec["bbx"] = np.stack(rec["bbx"]) if rec["bbx"] else np.zeros((0, 4))
         seq = rec["file_name"].split("/")[0]
         n = rec["kpts3d"].shape[0]
-        if seq != prev_seq or prev_poses is None or prev_poses.shape[0] == 0 \
-                or n == 0:
+        if seq != prev_seq:
+            # track ids restart at 0 for every sequence (reference
+            # mupots.py:109-115: max_pid = n, seq_pids = arange(n)) —
+            # a global counter would also inflate build_trajectories'
+            # (max_id+1)-slot arrays for late sequences
+            pids = np.arange(n, dtype=np.int32)
+            max_pid = n
+        elif prev_poses is None or prev_poses.shape[0] == 0 or n == 0:
             pids = np.arange(max_pid, max_pid + n, dtype=np.int32)
             max_pid += n
         else:

@@ -76,8 +76,12 @@ def render_sequence(
     from PIL import Image
 
     os.makedirs(save_dir, exist_ok=True)
-    all_pids = sorted({int(t) for fr in frames
-                       for t in np.atleast_1d(fr.get("track_ids", []))})
+    def _ids(fr, default=()):
+        # posetrack extractor records store ids under 'track_id'
+        # (preprocess/posetrack.py), jta/mupots under 'track_ids'
+        return np.atleast_1d(fr.get("track_ids", fr.get("track_id", default)))
+
+    all_pids = sorted({int(t) for fr in frames for t in _ids(fr, [])})
     written = []
     for i, fr in enumerate(frames):
         if max_frames and i >= max_frames:
@@ -86,7 +90,7 @@ def render_sequence(
         img = np.asarray(Image.open(os.path.join(images_root, fname))
                          .convert("RGB"))
         kpts = np.asarray(fr.get("kpts2d", np.zeros((0, 15, 3))))
-        tids = np.atleast_1d(fr.get("track_ids", np.arange(len(kpts))))
+        tids = _ids(fr, np.arange(len(kpts)))
         path = os.path.join(save_dir, f"{name}_{i:08d}.jpg")
         render_annotation_frame(img, kpts, [int(t) for t in tids], path,
                                 all_pids=all_pids)

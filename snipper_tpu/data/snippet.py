@@ -40,14 +40,17 @@ def transform_frame_kpts(
     return k.astype(np.float32)
 
 
-def bbox_2d_padded_batch(kpts2d: np.ndarray, h_inc=0.15, w_inc=0.1):
-    """Padded boxes from (pixel or normalized) per-person keypoints
-    [n, K, 3] -> [n, 4] (reference ``HybridData.bbox_2d_padded``)."""
+def bbox_2d_padded_batch(kpts2d: np.ndarray, h_inc=0.15, w_inc=0.15):
+    """Padded boxes from pixel-space per-person keypoints [n, K, 3] ->
+    [n, 4] (reference ``HybridData.bbox_2d_padded``,
+    ``hybrid_dataloader.py:1375-1410``: 15% pad on BOTH axes; a person
+    with no visible joints gets the [1, 1, 1, 1] placeholder box)."""
     n = kpts2d.shape[0]
     out = np.zeros((n, 4), np.float32)
     for i in range(n):
         vis = kpts2d[i, :, 2] > 0
-        if vis.sum() < 2:
+        if not vis.any():
+            out[i] = [1.0, 1.0, 1.0, 1.0]
             continue
         kp = kpts2d[i, vis, 0:2]
         mn, mx = kp.min(0), kp.max(0)

@@ -104,16 +104,10 @@ class SyntheticDataset:
 
 def batches(cfg: Config, batch_size: int, seed: int = 0,
             n_batches: int | None = None) -> Iterator[Dict]:
+    from snipper_tpu.data.snippet import stack_batch
+
     rng = np.random.default_rng(seed)
     i = 0
     while n_batches is None or i < n_batches:
-        samples = [make_sample(cfg, rng) for _ in range(batch_size)]
-        yield {
-            "images": np.stack([s["images"] for s in samples]),
-            "targets": {
-                k: np.stack([s["targets"][k] for s in samples])
-                for k in ("kpts2d", "depth", "valid")
-            },
-            "meta": [s["targets"] for s in samples],
-        }
+        yield stack_batch([make_sample(cfg, rng) for _ in range(batch_size)])
         i += 1

@@ -171,3 +171,37 @@ def test_transform_frame_kpts_flip_roundtrip():
     fl = transform_frame_kpts(k, True, 100, ident, (50, 100))
     np.testing.assert_allclose(fl[:, 3, 0] * 100, 100 - k[:, 4, 0] - 1,
                                rtol=1e-5)
+
+
+def test_jta_listed_without_augmentation(jta_fixture):
+    """The reference lists every JTA sample with augmentation disabled,
+    train and test (hybrid_dataloader.py:1564-1565, :1718)."""
+    ds = HybridDataset(CFG, mode="train", jta_dir=jta_fixture)
+    jta = [s for s in ds.samples if s[0] == "jta"]
+    assert jta and all(s[4] is False for s in jta)
+
+
+def test_bbox_padded_reference_parity():
+    """bbox_2d_padded semantics (hybrid_dataloader.py:1375-1410): 15% pad
+    on BOTH axes; no-visible-joints rows get the [1, 1, 1, 1] placeholder."""
+    from snipper_tpu.data.snippet import bbox_2d_padded_batch
+
+    k = np.zeros((2, 15, 3))
+    k[0, 0] = [10.0, 20.0, 1.0]
+    k[0, 1] = [30.0, 60.0, 1.0]
+    b = bbox_2d_padded_batch(k)
+    np.testing.assert_allclose(
+        b[0], [10 - 0.15 * 20 / 2, 20 - 0.15 * 40 / 2, 20 * 1.15, 40 * 1.15])
+    np.testing.assert_allclose(b[1], [1.0, 1.0, 1.0, 1.0])
+
+
+def test_bbxes_are_pixel_space(posetrack_fixture):
+    """The reference computes bbxes BEFORE keypoint normalization
+    (hybrid_dataloader.py:343), i.e. in input-pixel units."""
+    ds = HybridDataset(CFG, mode="train", posetrack_dir=posetrack_fixture)
+    s = ds[0]
+    t = s["targets"]
+    wh = t["bbxes"][t["valid"]][..., 2:4]
+    # a real person's padded box spans many pixels; normalized-space boxes
+    # could never exceed ~1.2
+    assert (wh > 2.0).any(), wh

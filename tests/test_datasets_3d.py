@@ -283,3 +283,28 @@ def test_panoptic_protocol2_realistic_calib(tmp_path):
     want = want.reshape(pose.shape[0], 15, 2) / np.array([960.0, 540.0])
     got = np.asarray(t["kpts2d"])[: pose.shape[0], 0, :, 0:2]
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_mupots_track_ids_restart_per_sequence(tmp_path):
+    """Track-id assignment resets to 0..n-1 at every sequence boundary
+    (reference mupots.py:109-115) — a global counter would inflate the
+    per-sample trajectory arrays for late sequences and break pkl id
+    compatibility."""
+    root = tmp_path / "mupots"
+    os.makedirs(root)
+    rng = np.random.default_rng(2)
+    a = _muco_style_json(5, "TS1", intrinsic=True, rng=rng)
+    b = _muco_style_json(5, "TS2", intrinsic=True, rng=rng)
+    offset = len(a["images"])
+    for img in b["images"]:
+        img["id"] += offset
+    for ann in b["annotations"]:
+        ann["image_id"] += offset
+    data = {"images": a["images"] + b["images"],
+            "annotations": a["annotations"] + b["annotations"]}
+    with open(root / "MuPoTS-3D.json", "w") as f:
+        json.dump(data, f)
+    out = mupots_pp.extract(str(root), str(root))
+    # first frame of each sequence: ids restart at exactly 0..n-1
+    assert sorted(out[0]["track_ids"].tolist()) == [0, 1]
+    assert sorted(out[offset]["track_ids"].tolist()) == [0, 1]

@@ -49,3 +49,23 @@ def test_render_sequence_stable_palette(tmp_path):
     written = render_sequence(frames, str(root), str(tmp_path / "vis"),
                               name="seq", max_frames=2)
     assert len(written) == 2 and all(os.path.exists(p) for p in written)
+
+
+def test_render_sequence_reads_singular_track_id_key(tmp_path):
+    """posetrack extractor records store ids under 'track_id' (singular,
+    preprocess/posetrack.py) — render_sequence must honor it, not fall
+    back to unstable arange ids."""
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    frames = []
+    for i in range(2):
+        name = f"{i:03d}.jpg"
+        Image.fromarray(np.zeros((60, 80, 3), np.uint8)).save(root / name)
+        frames.append({"filename": name,
+                       "kpts2d": np.stack([_person(5 + i, 5)]),
+                       "track_id": np.array([9])})
+    written = render_sequence(frames, str(root), str(tmp_path / "vis"),
+                              name="seq")
+    assert len(written) == 2

@@ -56,7 +56,10 @@ def main():
     val_ds = build_dataset(cfg, args, "val")
     # per-process batch: the loader shards indices across processes
     # (DistributedSampler role); shard_batch assembles the global array.
-    local_batch = cfg.batch_size * max(jax.local_device_count(), 1)
+    # batch_size is PER DATA SHARD — devices on the model (tp) axis share a
+    # shard, so they don't multiply the batch
+    data_shards = max(jax.local_device_count() // max(cfg.tp_size, 1), 1)
+    local_batch = cfg.batch_size * data_shards
     train_loader = DataLoader(train_ds, local_batch, shuffle=True,
                               seed=cfg.seed, num_workers=args.num_workers)
     val_loader = DataLoader(val_ds, local_batch, shuffle=False,
@@ -86,7 +89,7 @@ def main():
         print(f"resumed from {args.resume} at epoch {start_epoch}", flush=True)
 
     mesh = make_mesh(dp_size=-1, tp_size=cfg.tp_size)
-    step = make_train_step(model, crit, tx, mesh,
+    step = make_train_step(model, crit, tx,
                            mixed_precision=args.mixed_precision)
     eval_step = make_eval_step(model, crit)
     state = replicate(state, mesh)
@@ -114,7 +117,10 @@ def main():
 
         log = {"epoch": epoch,
                **{f"train_{k}": v for k, v in train_stats.items()}}
-        if (epoch + 1) % args.eval_every == 0:
+        # no eval after a preemption signal: the checkpoint is saved, and a
+        # full validation pass (plus its 20-300 s TPU compile) could outlive
+        # the preemptor's grace window and lose this epoch's log line
+        if not guard.should_stop and (epoch + 1) % args.eval_every == 0:
             eval_stats = evaluate(eval_step, state.params, val_loader, cfg,
                                   put_batch=lambda b: shard_batch(b, mesh))
             log.update({f"test_{k}": v for k, v in eval_stats.items()

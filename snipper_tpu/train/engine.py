@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from snipper_tpu.config import Config
-from snipper_tpu.eval.metrics import eval_kpts2d_pckh, eval_pose3d, pck3d
+from snipper_tpu.eval.metrics import eval_kpts2d_pckh, eval_pose3d
 from snipper_tpu.infer.postprocess import postprocess
 from snipper_tpu.utils.logger import MetricLogger
 
@@ -91,6 +91,9 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
         dev_batch = batch if put_batch is not None else _to_device_batch(
             batch)
         state, metrics = step_fn(state, dev_batch, rng)
+        # ONE host transfer for all ~15 scalar metrics: per-scalar float()
+        # readbacks each pay a tunnel round-trip on PCIe/tunnel hosts
+        metrics = jax.device_get(metrics)
         loss = float(metrics["loss_total"])
         if profiling:
             profiled += 1   # the float() above synced this step
@@ -127,11 +130,18 @@ def _print_trace_summary(profile_dir: str, n_iters: int):
 
 def _local_shard(x) -> np.ndarray:
     """This host's contiguous slice of a (possibly multi-host) global array
-    whose leading axis is data-sharded. Single-process: the whole array."""
+    whose leading axis is data-sharded. Single-process: the whole array.
+
+    With a model (tp) axis, rows are REPLICATED across it, so each host's
+    addressable shards contain tp copies of every batch row — dedup by the
+    shard index, else downstream postprocess would see tp * local_B rows
+    against local_B ``meta`` entries."""
     if jax.process_count() == 1:
         return np.asarray(x)
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    unique = {}
+    for s in x.addressable_shards:
+        unique.setdefault(str(s.index), s)
+    shards = sorted(unique.values(), key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
@@ -156,6 +166,7 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
         if put_batch is not None:
             dev_batch = put_batch(dev_batch)
         outputs, losses, src_idx = eval_step_fn(params, dev_batch)
+        losses = jax.device_get(losses)  # one transfer for all scalars
         logger.update(**{k: float(v) for k, v in losses.items()})
         # postprocess only THIS host's shard of the global outputs —
         # batch["meta"] is host-local (the loader's per-process slice)
@@ -203,8 +214,9 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
         for acc in (pose3d, pose3d_future, pckh):
             local = {k: (np.concatenate(v) if v else np.zeros((0,)))
                      for k, v in acc.items()}
+            gathered = all_gather_objects(local)  # ONE collective per acc
             for k in acc:
-                acc[k] = [chunk[k] for chunk in all_gather_objects(local)]
+                acc[k] = [chunk[k] for chunk in gathered]
 
     stats = {k: m.global_avg for k, m in logger.meters.items()}
     for name, acc in (("", pose3d), ("future_", pose3d_future), ("", pckh)):

@@ -34,6 +34,13 @@ class PreemptionGuard:
                 pass
 
     def _handle(self, signum, frame):
+        if self.should_stop and signum == signal.SIGINT:
+            # second Ctrl-C: the flag is only polled between steps, and a
+            # TPU compile (20-300 s) or a wedged tunnel never reaches the
+            # poll — escalate so the user can actually interrupt
+            signal.signal(signal.SIGINT,
+                          self._prev.get(signal.SIGINT, signal.SIG_DFL))
+            raise KeyboardInterrupt
         self.should_stop = True
         if self._on_signal is not None:
             self._on_signal(signum)

@@ -46,6 +46,20 @@ def param_label(path) -> str:
     return "main"
 
 
+def mask_frozen_grads(grads):
+    """Zero the frozen group's gradients BEFORE clipping/metrics.
+
+    The reference's frozen params (stem/layer1, FrozenBN buffers) have
+    ``requires_grad=False``, so torch's ``clip_grad_norm_``
+    (reference ``engine.py:74-76``) never sees them; here autodiff produces
+    real gradients for every leaf, and including them in the global norm
+    would silently over-clip every trainable update (and inflate the
+    reported grad_norm)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, g: jnp.zeros_like(g)
+        if param_label(path) == "frozen" else g, grads)
+
+
 def step_lr(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int,
             gamma: float = 0.1) -> Callable:
     """StepLR as a per-step schedule."""

@@ -14,7 +14,7 @@ reference's ``all_reduce(num_traj)/world_size`` + DDP gradient averaging
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -22,18 +22,22 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from snipper_tpu.losses.criterion import SetCriterion
-from snipper_tpu.train.state import TrainState
+from snipper_tpu.train.state import TrainState, mask_frozen_grads
 
 
 def make_train_step(
     model,
     criterion: SetCriterion,
     tx,
-    mesh: Optional[Mesh] = None,
     donate: bool = True,
     mixed_precision: bool = True,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
+
+    No mesh parameter: shardings ride the ARGUMENTS — place the state with
+    ``replicate(state, mesh)`` (or TP ``param_shardings``) and the batch
+    with ``shard_batch(batch, mesh)``; jit propagates the placements and
+    inserts the collectives.
 
     ``batch``: dict with ``images [B, T, H, W, 3]``, optional
     ``mask [B, T, H, W]``, and padded ``targets`` (kpts2d/depth/valid).
@@ -68,6 +72,9 @@ def make_train_step(
 
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # frozen params are requires_grad=False in the reference, so its
+        # global-norm clip and logged grad norm never include them
+        grads = mask_frozen_grads(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss_total": total,

@@ -43,7 +43,7 @@ def setup():
     mesh = make_mesh(dp_size=8, tp_size=1)
     # explicit f32 keeps the CPU-mesh suite fast (bf16 is emulated on CPU);
     # the default bf16-mp path is covered by test_mixed_precision_*
-    step = make_train_step(model, crit, tx, mesh, donate=False,
+    step = make_train_step(model, crit, tx, donate=False,
                            mixed_precision=False)
     batch = _synthetic_batch(cfg, 8, np.random.default_rng(0))
     return cfg, state, step, mesh, batch
@@ -231,3 +231,49 @@ def test_tp2_matches_tp1_and_unsharded():
     for name, (l, g) in results.items():
         assert abs(l - ref_l) / max(abs(ref_l), 1e-6) < 1e-4, results
         assert abs(g - ref_g) / max(abs(ref_g), 1e-6) < 1e-3, results
+
+
+def test_frozen_grads_excluded_from_clip():
+    """The reference's frozen params (stem/layer1, FrozenBN) are
+    requires_grad=False, so torch's clip_grad_norm_ never sees them; here
+    the frozen-group gradients must be zeroed BEFORE the global-norm clip
+    (state.py mask_frozen_grads) or a huge frozen gradient would silently
+    scale down every trainable update."""
+    import jax.numpy as jnp
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.train.state import make_optimizer, mask_frozen_grads
+
+    cfg = Config.tiny()
+    params = {
+        "backbone": {"bn1": {"scale": jnp.ones(4)},
+                     "conv3_weird": {"kernel": jnp.ones(4)}},
+        "head": {"kernel": jnp.ones(4)},
+    }
+
+    def grads_with_frozen(val):
+        return {
+            "backbone": {"bn1": {"scale": jnp.full(4, val)},
+                         "conv3_weird": {"kernel": jnp.full(4, 0.01)}},
+            "head": {"kernel": jnp.full(4, 0.02)},
+        }
+
+    masked = mask_frozen_grads(grads_with_frozen(1e6))
+    assert float(jnp.abs(masked["backbone"]["bn1"]["scale"]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(masked["head"]["kernel"]),
+                               0.02, rtol=1e-6)
+
+    tx = make_optimizer(cfg)
+    st = tx.init(params)
+    u_big, _ = tx.update(mask_frozen_grads(grads_with_frozen(1e6)),
+                         st, params)
+    u_ref, _ = tx.update(grads_with_frozen(0.0), st, params)
+    # trainable updates identical regardless of the frozen grad magnitude
+    np.testing.assert_allclose(np.asarray(u_big["head"]["kernel"]),
+                               np.asarray(u_ref["head"]["kernel"]))
+    np.testing.assert_allclose(
+        np.asarray(u_big["backbone"]["conv3_weird"]["kernel"]),
+        np.asarray(u_ref["backbone"]["conv3_weird"]["kernel"]))
+    # frozen params receive exactly zero update
+    np.testing.assert_allclose(
+        np.asarray(u_big["backbone"]["bn1"]["scale"]), 0.0)

@@ -48,10 +48,16 @@ def position_encoding_3d(
     def _feat(e):
         p = e[..., None] / dim_t                      # [B, T, h, w, F]
         # interleave sin(even) / cos(odd) exactly as the reference's
-        # stack+flatten (position_encoding.py:59-61)
-        return jnp.stack(
+        # stack+flatten (position_encoding.py:59-61). For ODD F the two
+        # strided halves differ by one channel (the reference's torch.stack
+        # would crash there, e.g. hidden_dim=256 -> F=85): pad to even,
+        # interleave, slice back — identical values for even F.
+        if p.shape[-1] % 2:
+            p = jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, 1)])
+        out = jnp.stack(
             (jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])), axis=-1
         ).reshape(*p.shape[:-1], -1)
+        return out[..., :num_pos_feats]
 
     return jnp.concatenate((_feat(z_embed), _feat(y_embed), _feat(x_embed)),
                            axis=-1)

@@ -157,15 +157,22 @@ class TorchMultiheadAttention(nn.Module):
         qh = proj(q, 0).reshape(*q.shape[:-1], H, D)
         kh = proj(k, 1).reshape(*k.shape[:-1], H, D)
         vh = proj(v, 2).reshape(*v.shape[:-1], H, D)
+        # Precision.HIGH: the TPU MXU default silently truncates f32
+        # operands to bf16 (CLAUDE.md invariant; preferred_element_type
+        # only fixes the ACCUMULATOR dtype) — without it the f32
+        # (--no-mixed_precision) path loses ~1e-3 in the decoder self-attn
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGH)
         logits = logits / math.sqrt(D)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGH)
         out = out.reshape(*q.shape[:-1], C).astype(q.dtype)
-        return nn.Dense(C, name="out_proj")(out)
+        return nn.Dense(C, name="out_proj",
+                        kernel_init=nn.initializers.xavier_uniform())(out)
 
 
 class EncoderLayer(nn.Module):
@@ -199,9 +206,11 @@ class EncoderLayer(nn.Module):
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
 
         # ffn
-        h = nn.relu(nn.Dense(self.d_ffn, name="linear1")(src))
+        h = nn.relu(nn.Dense(self.d_ffn, name="linear1",
+                             kernel_init=nn.initializers.xavier_uniform())(src))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, name="linear2",
+                     kernel_init=nn.initializers.xavier_uniform())(h)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(src), overflow
 
@@ -245,9 +254,11 @@ class DecoderLayer(nn.Module):
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
 
         # ffn
-        h = nn.relu(nn.Dense(self.d_ffn, name="linear1")(tgt))
+        h = nn.relu(nn.Dense(self.d_ffn, name="linear1",
+                             kernel_init=nn.initializers.xavier_uniform())(tgt))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, name="linear2",
+                     kernel_init=nn.initializers.xavier_uniform())(h)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt), attn_data
 
@@ -330,13 +341,10 @@ class DeformableTransformer(nn.Module):
         if masks is not None:
             mask_flat = jnp.concatenate(
                 [m.reshape(B, T, -1) for m in masks], axis=2)
-            valid_h = jnp.sum(~masks[0][:, 0, :, 0], axis=1).astype(jnp.float32)
-            valid_w = jnp.sum(~masks[0][:, 0, 0, :], axis=1).astype(jnp.float32)
             valid_ratios = jnp.stack(
                 [jnp.stack([jnp.sum(~m[:, 0, 0, :], 1) / m.shape[3],
                             jnp.sum(~m[:, 0, :, 0], 1) / m.shape[2]], -1)
                  for m in masks], axis=1).astype(jnp.float32)  # [B, L, 2]
-            del valid_h, valid_w
         else:
             mask_flat = None
             valid_ratios = jnp.ones((B, L, 2), jnp.float32)

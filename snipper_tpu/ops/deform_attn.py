@@ -308,10 +308,7 @@ def ms_deform_attn_pmerged(
                 buf = jax.lax.dynamic_slice_in_dim(
                     jax.lax.slice_in_dim(v_hm, starts[lvl],
                                          starts[lvl] + Sl, axis=2),
-                    lo, min(Ws, Sl), axis=2)
-                if Ws > Sl:
-                    buf = jnp.pad(buf, ((0, 0), (0, 0), (0, Ws - Sl),
-                                        (0, 0)))
+                    lo, Ws, axis=2)  # Ws < Sl by construction (win plan)
             else:
                 ids_use = ids
                 width = Sl
@@ -616,13 +613,10 @@ def ms_deform_attn_pmerged2d(
         return a.reshape(nby * nbx, B, bh * bw, *a.shape[5:])
 
     loc_b = to_blocks(sampling_locations)    # [NB, B, C, H, L, P, 2]
-    attn_b = to_blocks(attention_weights)    # [NB, B, C, H, L, P]
-    # padded queries: zero weight so they contribute nothing (their ids
-    # still come from padded loc=0 -> harmless once weighted zero and
+    # padded queries need no extra masking: to_blocks zero-pads, so their
+    # attention weights are exactly 0 (loc=0 taps are weighted zero and
     # excluded from the live-min by the weight test)
-    qmask = to_blocks(jnp.ones((1, Sseg, 1), jnp.float32)
-                      * jnp.ones((B, 1, 1), jnp.float32))  # [NB, B, C, 1]
-    attn_b = attn_b * qmask[..., None, None]
+    attn_b = to_blocks(attention_weights)    # [NB, B, C, H, L, P]
 
     C = bh * bw
 

@@ -151,3 +151,21 @@ def test_s2d_stem_matches_direct_conv():
         assert want.shape == got.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_position_encoding_odd_feature_count():
+    """hidden_dim % 3 != 0 configs can give an ODD per-axis feature count
+    (e.g. hidden 256 -> F=85); the sin/cos interleave must handle it (the
+    reference's torch.stack would crash) and stay identical for even F."""
+    import jax.numpy as jnp
+
+    from snipper_tpu.models.position_encoding import position_encoding_3d
+
+    mask = jnp.zeros((1, 2, 4, 6), bool)
+    out = position_encoding_3d(mask, 85)
+    assert out.shape == (1, 2, 4, 6, 255)
+    assert bool(jnp.isfinite(out).all())
+    # even F unchanged and bounded
+    out2 = position_encoding_3d(mask, 128)
+    assert out2.shape == (1, 2, 4, 6, 384)
+    assert float(jnp.abs(out2).max()) <= 1.0 + 1e-6

@@ -54,13 +54,14 @@ def main():
     rng = jax.random.PRNGKey(2)
 
     # ---- matcher alone ----------------------------------------------------
-    from snipper_tpu.matching.matcher import HungarianMatcher
+    from snipper_tpu.losses.criterion import matcher_weight_dict
+    from snipper_tpu.matching.matcher import match
 
-    matcher = HungarianMatcher(cfg)
+    mw = matcher_weight_dict(cfg)
     tgt = raw["targets"]
 
     def run_match(outs_like, targets):
-        return matcher.match(outs_like, targets)
+        return match(outs_like, targets, cfg.max_depth, mw)
 
     # fake outputs at the right shapes from the real forward
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))

@@ -80,15 +80,16 @@ def main():
     n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
     print(f"parameters: {n_params / 1e6:.1f}M", flush=True)
 
-    crit = SetCriterion(cfg)
+    mesh = make_mesh(dp_size=-1, tp_size=cfg.tp_size)
+    # dp_size keeps the heatmap loss's bare-sum semantics equivalent to the
+    # reference's per-rank sum + DDP gradient averaging
+    crit = SetCriterion(cfg, dp_size=mesh.shape["data"])
     state, tx = create_train_state(cfg, params, steps_per_epoch)
     start_epoch = 0
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed from {args.resume} at epoch {start_epoch}", flush=True)
-
-    mesh = make_mesh(dp_size=-1, tp_size=cfg.tp_size)
     step = make_train_step(model, crit, tx,
                            mixed_precision=args.mixed_precision)
     eval_step = make_eval_step(model, crit)

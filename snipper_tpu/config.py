@@ -162,6 +162,12 @@ class Config:
                 f"(models/transformer.py heatmap extraction)")
         if self.num_frames < 1:
             problems.append(f"num_frames must be >= 1 (got {self.num_frames})")
+        if self.max_persons > self.num_queries:
+            problems.append(
+                f"max_persons {self.max_persons} > num_queries "
+                f"{self.num_queries}: the Hungarian assignment needs one "
+                f"query per padded target slot (the on-device JV solver "
+                f"requires m <= n and would never terminate otherwise)")
         if self.num_future_frames < 0:
             problems.append("num_future_frames must be >= 0")
         if self.num_feature_levels < 3:
@@ -249,6 +255,10 @@ class Config:
         return Config(num_frames=4, num_future_frames=2, hidden_dim=384,
                       enc_layers=6, dec_layers=6, input_height=540,
                       input_width=960, max_depth=5.0, num_queries=20,
+                      # padding cap <= num_queries: the Hungarian step needs
+                      # a query per (real) target slot; panoptic studio
+                      # scenes have <= ~8 people
+                      max_persons=20,
                       epochs=10, lr_drop=8, seq_min_gap=10, seq_max_gap=10)
 
     @staticmethod

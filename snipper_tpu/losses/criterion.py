@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from snipper_tpu.config import Config
 from snipper_tpu.data.skeleton import ROOT_JOINT_CONT
 from snipper_tpu.losses.heatmap import heatmap_targets
-from snipper_tpu.matching.matcher import cost_matrix, hungarian, hungarian_scipy
+from snipper_tpu.matching.matcher import match
 
 EPS = 1e-5
 
@@ -80,10 +80,18 @@ def _gather_matched(pred: jnp.ndarray, src_idx: jnp.ndarray) -> jnp.ndarray:
 class SetCriterion:
     """Functional criterion; construct once from a Config, call inside jit."""
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, dp_size: int = 1):
         self.cfg = cfg
         self.weights = loss_weight_dict(cfg)
         self.match_weights = matcher_weight_dict(cfg)
+        # number of data-parallel shards the global batch spans. Every
+        # num_traj-normalized loss is automatically equivalent to the
+        # reference's per-rank-loss + DDP gradient averaging, but the
+        # heatmap loss is a bare SUM (reference model.py:441-443:
+        # mse_loss(reduction='sum')/nhead per rank, then DDP averages
+        # over W ranks -> global_sum/(nhead*W)) — so the global-batch sum
+        # must be divided by dp_size to match.
+        self.dp_size = max(int(dp_size), 1)
         # per-joint continuity weights are defined for JOINT15 (reference
         # ROOTJOINTCONT); slice for smaller test joint sets
         self.cont_weights = jnp.asarray(
@@ -203,7 +211,9 @@ class SetCriterion:
             tgt = heatmap_targets(targets["kpts2d"], targets["valid"], t, h, w)
             err = (hm.astype(jnp.float32) - tgt[:, :, :, :, None, :]) ** 2
             total = total + jnp.sum(err) / nhead
-        return total
+        # dp equivalence: the reference sums per rank and DDP-averages
+        # gradients over ranks; our sum runs over the GLOBAL batch
+        return total / self.dp_size
 
     # ---------------------------------------------------------------- call
     def __call__(
@@ -214,23 +224,18 @@ class SetCriterion:
         solver: str = "jax",
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
         """Returns (total_weighted_loss, loss_dict, src_idx_of_final_layer)."""
-        solve = hungarian if solver == "jax" else hungarian_scipy
-
         num_traj = jnp.sum(targets["valid"].astype(jnp.float32))
         if axis_name is not None:
             num_traj = jax.lax.pmean(num_traj, axis_name)
         num_traj = jnp.clip(num_traj, 1.0, None)
 
         def run_layer(logits, kpts2d, depth):
-            cost = cost_matrix(logits, kpts2d, depth, targets["kpts2d"],
-                               targets["depth"], self.max_depth,
-                               self.match_weights)
-            # zero padding-slot columns (same fix as matcher.match): the
-            # vis/MSE terms vary across queries even for all-zero padded
-            # targets, so unmasked padding slots would steal queries from
-            # real targets and perturb the assignment
-            cost = cost * targets["valid"][:, None, :].astype(cost.dtype)
-            src_idx = solve(jax.lax.stop_gradient(cost))
+            # one shared matching implementation (cost + padding-column
+            # masking + solve) — see matcher.match for the masking rationale
+            src_idx, _ = match(
+                {"pred_logits": logits, "pred_kpts2d": kpts2d,
+                 "pred_depth": depth}, targets, self.max_depth,
+                self.match_weights, solver=solver)
             ld = self._loss_set(logits, kpts2d, depth, targets, src_idx,
                                 num_traj)
             return ld, src_idx

@@ -213,6 +213,12 @@ def match(
       ``(src_idx [B, M] int32, valid [B, M] bool)`` — query index matched to
       each (padded) target slot.
     """
+    if solver not in ("jax", "scipy"):
+        # a typo must not silently select the host-callback path (it would
+        # break the one-XLA-program invariant and add a device->host sync
+        # to every step)
+        raise ValueError(f"unknown solver {solver!r}; choose 'jax' "
+                         "(on-device JV) or 'scipy' (host callback)")
     cost = cost_matrix(outputs["pred_logits"], outputs["pred_kpts2d"],
                        outputs["pred_depth"], targets["kpts2d"],
                        targets["depth"], max_depth, weights)

@@ -150,3 +150,28 @@ def test_padding_rows_do_not_perturb_real_assignment(seed):
         np.testing.assert_allclose(got_exact, want_total, rtol=1e-5, atol=1e-6)
         # padded assignment must still be a valid injection over ALL slots
         assert len(set(np.asarray(src_pad)[b].tolist())) == M
+
+
+def test_unknown_solver_raises():
+    """A solver typo must raise, not silently select the host-callback
+    path (which would break the one-XLA-program step invariant)."""
+    import pytest
+
+    from snipper_tpu.matching.matcher import match
+
+    with pytest.raises(ValueError, match="unknown solver"):
+        match({"pred_logits": None, "pred_kpts2d": None, "pred_depth": None},
+              {}, 15.0, {}, solver="JAX")
+
+
+def test_max_persons_capped_by_num_queries():
+    """The JV solver needs m <= n; Config.validate must reject padding caps
+    above the query count (the panoptic preset previously shipped
+    max_persons=32 with 20 queries — an on-device hang)."""
+    import pytest
+
+    from snipper_tpu.config import Config
+
+    with pytest.raises(ValueError, match="max_persons"):
+        Config.tiny().replace(max_persons=9).validate()  # tiny has 8 queries
+    assert Config.panoptic().max_persons <= Config.panoptic().num_queries

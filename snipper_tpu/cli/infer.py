@@ -70,7 +70,9 @@ def main():
     # forward, and long videos stream with O(1) host memory
     sample_iter = prefetched(iter_snippet_samples(
         args.data_dir, cfg.num_frames, args.seq_gap, cfg.input_shape,
-        warp_on_device=args.device_preprocess), depth=2)
+        warp_on_device=args.device_preprocess,
+        # the SAME listing association will index into (no re-listdir race)
+        index=(frame_indices, all_files)), depth=2)
     print(f"{len(frame_indices)} snippets over {len(all_files)} frames",
           flush=True)
     first_sample = None

@@ -8,7 +8,8 @@ Counterpart of reference ``inference_utils.py``:
   over the shared frame via a normalized L2 match cost on (kpts, depth,
   score); unmatched detections get fresh person ids; matched poses on the
   overlap are score-weighted averaged (reference ``:198-339``).
-- ``compute_match_cost`` / ``bbox_2d_padded`` (reference ``:98-139``).
+- ``compute_match_cost`` (reference ``:98-108``; the padded-bbox render
+  helper lives in infer.visualize).
 
 cv2-free: PIL decodes frames, the affine warp comes from
 snipper_tpu.data.transforms.
@@ -17,7 +18,7 @@ snipper_tpu.data.transforms.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -39,45 +40,47 @@ def compute_match_cost(pre: np.ndarray, cur: np.ndarray, h: float, w: float,
     return np.sum(d ** 2, axis=(-1, -2))
 
 
-def bbox_2d_padded(pose: np.ndarray, h_inc_perc=0.15, w_inc_perc=0.1):
-    """Padded bbox around visible keypoints; ``pose [K, >=4]`` with
-    visibility/score in column 3."""
-    vis = pose[:, 3]
-    if np.sum(vis > 0) < 2:
-        return [0, 0, 0, 0]
-    kp = pose[vis > 0, 0:2]
-    x_min, y_min = kp[:, 0].min(), kp[:, 1].min()
-    x_max, y_max = kp[:, 0].max(), kp[:, 1].max()
-    inc_h = (y_max - y_min) * h_inc_perc / 2
-    inc_w = (x_max - x_min) * w_inc_perc / 2
-    x_min, x_max = x_min - inc_w, x_max + inc_w
-    y_min, y_max = y_min - inc_h, y_max + inc_h
-    return [int(x_min), int(y_min), int(x_max - x_min), int(y_max - y_min)]
-
-
 def _read_rgb(path: str) -> np.ndarray:
     from PIL import Image
 
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
 def snippet_index(data_dir: str, num_frames: int, gap: int):
     """(frame_indices, all_files): snippet start stride is ``gap * (T - 1)``
     (``gap`` when T == 1), so the last frame of snippet k is the first frame
-    of snippet k+1 (reference ``get_all_samples``, inference_utils.py:143)."""
+    of snippet k+1 (reference ``get_all_samples``, inference_utils.py:143).
+
+    Only image files count as frames: sequence dirs routinely contain
+    seqinfo/gt sidecar files or subdirectories, which would shift every
+    frame index and crash the decoder."""
     skip = gap if num_frames == 1 else gap * (num_frames - 1)
-    all_files = sorted(os.listdir(data_dir))
+    all_files = sorted(
+        f for f in os.listdir(data_dir)
+        if f.lower().endswith(IMAGE_EXTS)
+        and os.path.isfile(os.path.join(data_dir, f)))
     return list(range(0, len(all_files) - skip, skip)), all_files
 
 
 def iter_snippet_samples(data_dir: str, num_frames: int, gap: int,
                          input_shape: Tuple[int, int],
-                         warp_on_device: bool = False):
+                         warp_on_device: bool = False,
+                         index: Optional[tuple] = None):
     """Lazily decode snippet samples (generator; see
     :func:`load_snippet_samples` for the sample schema). Long videos stream
     with O(1) host memory; combine with :func:`prefetched` so JPEG decoding
-    overlaps device compute."""
-    frame_indices, all_files = snippet_index(data_dir, num_frames, gap)
+    overlaps device compute.
+
+    ``index``: a precomputed ``(frame_indices, all_files)`` from
+    :func:`snippet_index` — pass the SAME listing the caller plans to
+    associate against, so a directory that changes between listings cannot
+    desync the iterator from the association index."""
+    frame_indices, all_files = (index if index is not None
+                                else snippet_index(data_dir, num_frames,
+                                                   gap))
     h, w = input_shape
     for idx in frame_indices:
         filenames = [all_files[idx + gap * t] for t in range(num_frames)]
@@ -116,11 +119,14 @@ def prefetched(it, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    error: list = []
 
     def worker():
         try:
             for x in it:
                 q.put(x)
+        except BaseException as e:  # noqa: BLE001 - surfaced to consumer
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -128,6 +134,10 @@ def prefetched(it, depth: int = 2):
     while True:
         x = q.get()
         if x is sentinel:
+            if error:
+                # a decode failure must FAIL the run, not silently
+                # truncate the stream (partial tracks presented as success)
+                raise error[0]
             return
         yield x
 
@@ -148,7 +158,8 @@ def load_snippet_samples(data_dir: str, num_frames: int, gap: int,
     """
     frame_indices, all_files = snippet_index(data_dir, num_frames, gap)
     samples = list(iter_snippet_samples(data_dir, num_frames, gap,
-                                        input_shape, warp_on_device))
+                                        input_shape, warp_on_device,
+                                        index=(frame_indices, all_files)))
     return samples, frame_indices, all_files
 
 
@@ -281,7 +292,10 @@ def make_data_parallel_forward(model, params, mesh):
 
     def run(imgs: np.ndarray):
         assert imgs.shape[0] % dp == 0, (imgs.shape, dp)
-        x = jax.device_put(jnp.asarray(imgs), data)
+        # device_put the HOST array with the sharding directly: each device
+        # receives only its B/dp slice (jnp.asarray first would upload the
+        # whole batch to one default device and reshard from there)
+        x = jax.device_put(imgs, data)
         return fwd(repl, x)
 
     return run, dp

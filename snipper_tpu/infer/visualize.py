@@ -328,8 +328,7 @@ def visualize_heatmaps(heatmaps: List[np.ndarray], images: np.ndarray,
 
 def visualize_attention(attn_data, images: np.ndarray, save_dir: str,
                         query_scores: Optional[np.ndarray] = None,
-                        layer: int = -1, top_k: int = 5,
-                        img_size=None):
+                        layer: int = -1, top_k: int = 5):
     """Render decoder deformable-attention sampling locations — the consumer
     of the reference's attention plumbing (``ms_deform_attn.py:167-233`` →
     ``engine.py:136``), which the reference collects but never draws.
@@ -352,8 +351,6 @@ def visualize_attention(attn_data, images: np.ndarray, save_dir: str,
     attn = np.asarray(attn)[0]    # [T1, Lq, H, L, P]
     T = images.shape[0]
     h_img, w_img = images.shape[1:3]
-    if img_size is None:
-        img_size = (w_img, h_img)
     Lq = loc.shape[1]
     if query_scores is None:
         # fall back to total attention mass per query
@@ -367,8 +364,9 @@ def visualize_attention(attn_data, images: np.ndarray, save_dir: str,
         for rank, q in enumerate(top):
             pts = loc[t, q].reshape(-1, 2)           # [H*L*P, 2]
             w = attn[t, q].reshape(-1)
-            ax.scatter(pts[:, 0] * img_size[0] * w_img / img_size[0],
-                       pts[:, 1] * img_size[1] * h_img / img_size[1],
+            # sampling locations are normalized [0,1] -> frame pixels
+            ax.scatter(pts[:, 0] * w_img,
+                       pts[:, 1] * h_img,
                        s=5 + 200 * w / max(w.max(), 1e-6),
                        color=cmap(rank % 10), alpha=0.6,
                        label=f"query {int(q)}")

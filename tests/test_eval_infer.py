@@ -4,8 +4,8 @@ import numpy as np
 
 from snipper_tpu.eval.metrics import (compute_mpjpe, eval_pose3d,
                                       matcher_pose3d, pck3d, unproject)
-from snipper_tpu.infer.pipeline import (associate_snippets, bbox_2d_padded,
-                                        compute_match_cost)
+from snipper_tpu.infer.pipeline import associate_snippets, compute_match_cost
+from snipper_tpu.infer.visualize import bbox_2d_padded
 
 K = 15
 
@@ -173,3 +173,37 @@ def test_postprocess_slices_padded_target_slots():
     assert list(res["gt_traj_ids"]) == [5, 9]
     src, tgt_idx = res["indices"]
     assert list(src) == [3, 1] and list(tgt_idx) == [0, 1]
+
+
+def test_prefetched_propagates_worker_errors():
+    """A decode failure inside the prefetch thread must fail the run, not
+    silently truncate the stream (partial tracks presented as success)."""
+    import pytest
+
+    from snipper_tpu.infer.pipeline import prefetched
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("corrupt frame")
+
+    out = []
+    with pytest.raises(RuntimeError, match="corrupt frame"):
+        for x in prefetched(gen(), depth=1):
+            out.append(x)
+    assert out == [1, 2]
+
+
+def test_snippet_index_ignores_non_frames(tmp_path):
+    """Sequence dirs routinely carry sidecar files and subdirectories;
+    only image files may count as frames (anything else shifts every
+    frame index and crashes the decoder)."""
+    from snipper_tpu.infer.pipeline import snippet_index
+
+    for name in ("0001.jpg", "0002.jpg", "0003.png", "seqinfo.ini",
+                 ".DS_Store", "gt.txt"):
+        (tmp_path / name).write_bytes(b"x")
+    (tmp_path / "subdir").mkdir()
+    (tmp_path / "0000.jpg").mkdir()  # a directory named like a frame
+    _, files = snippet_index(str(tmp_path), 2, 1)
+    assert files == ["0001.jpg", "0002.jpg", "0003.png"]

@@ -39,6 +39,17 @@ def respect_platform_env():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def _strict_bool(s: str) -> bool:
+    """Reject unrecognized values: ``--aux_loss yes`` silently parsing as
+    False would disable a loss with no error."""
+    if s in ("1", "true", "True"):
+        return True
+    if s in ("0", "false", "False"):
+        return False
+    raise argparse.ArgumentTypeError(
+        f"expected true/false/1/0 (got {s!r})")
+
+
 def add_config_args(parser: argparse.ArgumentParser):
     for f in dataclasses.fields(Config):
         if f.type in ("int", int):
@@ -46,8 +57,8 @@ def add_config_args(parser: argparse.ArgumentParser):
         elif f.type in ("float", float):
             parser.add_argument(f"--{f.name}", type=float, default=None)
         elif f.type in ("bool", bool):
-            parser.add_argument(f"--{f.name}", type=lambda s: s in
-                                ("1", "true", "True"), default=None)
+            parser.add_argument(f"--{f.name}", type=_strict_bool,
+                                default=None)
         else:
             parser.add_argument(f"--{f.name}", type=str, default=None)
 

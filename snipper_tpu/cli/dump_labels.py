@@ -138,6 +138,9 @@ def main():
     with open(args.out, "wb") as f:
         pickle.dump(dumps, f)
     print(f"wrote {args.out}")
+    if not person_counts:  # np.max on an empty list raises
+        print("0 samples — nothing to summarize")
+        return
     print(f"persons/sample: mean {np.mean(person_counts):.2f} "
           f"max {np.max(person_counts)}")
     if vis_fracs:

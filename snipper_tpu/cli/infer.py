@@ -90,18 +90,14 @@ def main():
 
     def decode_one(logits, kpts, depth, s):
         """Decode one snippet's outputs to PostProcess schema (reference
-        inference.py:141-189 decode block)."""
-        e = np.exp(logits - logits.max(-1, keepdims=True))
-        prob = (e / e.sum(-1, keepdims=True))[..., 1]
-        d = depth.copy()
-        d[:, :, 1:] = d[:, :, 0:1] + d[:, :, 1:] / cfg.max_depth
-        d *= cfg.max_depth
-        k2 = kpts[..., 0:2].copy()
-        k2[:, :, 1:] = k2[:, :, :1] + k2[:, :, 1:]
-        k2 *= np.array([w, h])
+        inference.py:141-189 decode block) via the SHARED decode helper."""
+        from snipper_tpu.infer.postprocess import decode_predictions
+
+        prob, score, k2, d = decode_predictions(logits, kpts, depth,
+                                                cfg.max_depth, (w, h))
         return {
             "human_score": prob,
-            "pred_kpt_scores": kpts[..., 2:3],
+            "pred_kpt_scores": score,
             "pred_kpts": k2,
             "pred_depth": d,
             "inv_trans": s["inv_trans"],

@@ -57,7 +57,9 @@ def warp_patch(img: np.ndarray, trans: np.ndarray, out_shape,
                               int(out_h), int(out_w), int(do_flip),
                               float(color_scale[0]), float(color_scale[1]),
                               float(color_scale[2]))
-        return np.frombuffer(bytes(buf), np.float32).reshape(out_h, out_w, 3)
+        # zero-copy view of the extension's bytearray (bytes(buf) would
+        # copy ~5.8 MB per 600x800 frame in the loader hot loop)
+        return np.frombuffer(buf, np.float32).reshape(out_h, out_w, 3)
     # numpy fallback
     from snipper_tpu.data.transforms import generate_patch_image
 
@@ -80,3 +82,21 @@ def lsa(cost: np.ndarray) -> np.ndarray:
     out = np.zeros(cost.shape[0], np.int64)
     out[rows] = cols
     return out
+
+
+def lsa_pairs(cost: np.ndarray):
+    """``scipy.optimize.linear_sum_assignment``-compatible optimal pairs
+    ``(rows, cols)`` for an arbitrary ``[m, n]`` cost — the native JV when
+    the extension is built (the role the reference's scipy calls play on
+    the host eval path), scipy otherwise. Pair ORDER may differ from
+    scipy's sorted rows; the assignment (as a set of pairs) is optimal
+    either way."""
+    cost = np.asarray(cost, np.float64)
+    m, n = cost.shape
+    if m == 0 or n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    if m <= n:
+        return np.arange(m, dtype=np.int64), lsa(cost)
+    rows = lsa(np.ascontiguousarray(cost.T))
+    return rows, np.arange(n, dtype=np.int64)

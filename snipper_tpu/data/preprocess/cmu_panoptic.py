@@ -47,8 +47,7 @@ def _load_poses(ann_dir: str):
         poses, track_ids = [], []
         for body in bframe.get("bodies", []):
             skel = np.asarray(body["joints19"], np.float64).reshape(-1, 4)
-            pose = np.concatenate([skel[:, 0:3], skel[:, 3:4]],
-                                  -1)[PANOPTIC_TO_JOINT15]
+            pose = skel[PANOPTIC_TO_JOINT15]
             poses.append(pose)
             track_ids.append(body["id"])
         if poses:

@@ -73,13 +73,30 @@ def split_annotations(data_dir: str, out_dir: str, n_frames: int = 900):
 
 
 def prepare_listing(data_dir: str, out_dir: str,
-                    exclude_moving_camera: bool = True):
+                    exclude_moving_camera: bool = True,
+                    moving_camera_list: str | None = None):
+    """``moving_camera_list``: explicit path to the 99-sequence exclusion
+    list; otherwise searched in ``data_dir`` then ``out_dir``. The listing
+    is NAMED no_moving_camera, so silently proceeding without the list
+    would label moving-camera-contaminated data as clean — a missing list
+    is an error, not a no-op."""
     moving = set()
     if exclude_moving_camera:
-        path = os.path.join(data_dir, MOVING_CAMERA_SEQS_FILE)
-        if os.path.exists(path):
-            with open(path) as f:
-                moving = {int(line.strip()) for line in f if line.strip()}
+        candidates = ([moving_camera_list] if moving_camera_list else
+                      [os.path.join(d, MOVING_CAMERA_SEQS_FILE)
+                       for d in (data_dir, out_dir)])
+        path = next((p for p in candidates if p and os.path.exists(p)), None)
+        if path is None:
+            raise FileNotFoundError(
+                f"{MOVING_CAMERA_SEQS_FILE} not found in {candidates}: the "
+                "fixed-camera JTA listing needs the 99-sequence exclusion "
+                "list (shipped next to the reference's "
+                "datasets/data_preprocess/jta.py; reference jta.py:234-257)."
+                " Pass --moving_camera_list / moving_camera_list=, place "
+                "the file in the data dir, or set "
+                "exclude_moving_camera=False to index ALL sequences.")
+        with open(path) as f:
+            moving = {int(line.strip()) for line in f if line.strip()}
     all_files = {}
     for subset in os.listdir(os.path.join(data_dir, "ann_split")):
         listing = {}
@@ -105,8 +122,21 @@ if __name__ == "__main__":
     p.add_argument("--data_dir", required=True)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--skip_frames", action="store_true")
+    p.add_argument("--moving_camera_list", default=None,
+                   help="path to moving_camera_seq.txt (searched in "
+                        "--data_dir/--out_dir when omitted)")
+    p.add_argument("--keep_moving_camera", action="store_true",
+                   help="index ALL sequences (no exclusion list needed)")
     args = p.parse_args()
     if not args.skip_frames:
         extract_frames(args.data_dir, args.out_dir)
     split_annotations(args.data_dir, args.out_dir)
-    prepare_listing(args.out_dir, args.out_dir)
+    # ann_split lives in out_dir; the exclusion list may sit next to the
+    # RAW data, so offer that location to the search as well
+    mcl = args.moving_camera_list
+    if mcl is None:
+        raw = os.path.join(args.data_dir, MOVING_CAMERA_SEQS_FILE)
+        mcl = raw if os.path.exists(raw) else None
+    prepare_listing(args.out_dir, args.out_dir,
+                    exclude_moving_camera=not args.keep_moving_camera,
+                    moving_camera_list=mcl)

@@ -90,6 +90,13 @@ def render_sequence(
         img = np.asarray(Image.open(os.path.join(images_root, fname))
                          .convert("RGB"))
         kpts = np.asarray(fr.get("kpts2d", np.zeros((0, 15, 3))))
+        if kpts.ndim == 3 and kpts.shape[1] == 18:
+            # posetrack extractor records are [root + posetrack17] order
+            # (preprocess/posetrack.py add_root_joint); remap to JOINT15 so
+            # SKELETON_EDGES connect the right limbs
+            from snipper_tpu.data.skeleton import POSETRACK_TO_JOINT15
+
+            kpts = kpts[:, POSETRACK_TO_JOINT15, :]
         tids = _ids(fr, np.arange(len(kpts)))
         path = os.path.join(save_dir, f"{name}_{i:08d}.jpg")
         render_annotation_frame(img, kpts, [int(t) for t in tids], path,

@@ -23,7 +23,8 @@ from __future__ import annotations
 from typing import Dict, List, Sequence
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+
+from snipper_tpu.data.native_ops import lsa_pairs
 
 POSE3D_DATASETS = ("mupots", "jta", "panoptic", "synthetic")
 
@@ -55,7 +56,8 @@ def matcher_pose3d(gt_pose3d: np.ndarray, gt_vis: np.ndarray,
     d[:, :, :1] *= cost_root
     d[:, :, 1:] *= cost_joint
     cost = d.sum(-1) / (vis.sum((-1, -2)) + matcher_eps)
-    src, tgt = linear_sum_assignment(cost)
+    # native JV when built (the one host-side LSA hot spot), scipy fallback
+    src, tgt = lsa_pairs(cost)
     return np.asarray(src, np.int64), np.asarray(tgt, np.int64)
 
 

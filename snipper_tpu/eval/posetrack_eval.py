@@ -27,7 +27,8 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+
+from snipper_tpu.data.native_ops import lsa_pairs
 
 MIN_SCORE = -9999.0
 
@@ -235,7 +236,7 @@ class MOTAccumulator:
             sub = dist[np.ix_(free_g, free_p)]
             big = 1e6
             cost = np.where(np.isfinite(sub), sub, big)
-            rows, cols = linear_sum_assignment(cost)
+            rows, cols = lsa_pairs(cost)  # native JV when built
             for r, c in zip(rows, cols):
                 if np.isfinite(sub[r, c]):
                     pairs[free_g[r]] = free_p[c]

@@ -18,6 +18,31 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
+def decode_predictions(logits: np.ndarray, kpts2d: np.ndarray,
+                       depth: np.ndarray, max_depth: float, input_size):
+    """Decode one sample's raw outputs (reference ``PostProcess``
+    ``:572-581``): softmax human probability, ``joint = root + disp``
+    scaled to input pixels, ``joint_depth = (root + disp/max_depth) *
+    max_depth`` in metres. Shared by :func:`postprocess` and the demo CLI
+    so the two decode paths cannot drift.
+
+    Shapes: ``logits [n, T, 2]``, ``kpts2d [n, T, K, 3]``,
+    ``depth [n, T, K, 1]``. Returns ``(human_prob [n, T], kpt_scores
+    [n, T, K, 1], kpts_px [n, T, K, 2], depth_m [n, T, K, 1])``."""
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    human_prob = (e / e.sum(-1, keepdims=True))[..., 1]
+
+    d = np.asarray(depth).copy()
+    d[:, :, 1:] = d[:, :, 0:1] + d[:, :, 1:] / max_depth
+    out_depth = max_depth * d
+
+    score = np.asarray(kpts2d)[..., 2:3].copy()
+    k2 = np.asarray(kpts2d)[..., 0:2].copy()
+    k2[:, :, 1:] = k2[:, :, :1] + k2[:, :, 1:]
+    k2 = k2 * np.asarray(input_size, np.float32)
+    return human_prob, score, k2, out_depth
+
+
 def postprocess(
     outputs: Dict[str, np.ndarray],
     targets_list: List[Dict],
@@ -55,17 +80,8 @@ def postprocess(
         else:
             m = len(np.asarray(tgt["traj_ids"]))
 
-        e = np.exp(logits[i] - logits[i].max(-1, keepdims=True))
-        human_prob = (e / e.sum(-1, keepdims=True))[..., 1]     # [n, T]
-
-        d = depth[i].copy()
-        d[:, :, 1:] = d[:, :, 0:1] + d[:, :, 1:] / max_depth
-        out_depth = max_depth * d
-
-        score = kpts[i, :, :, :, 2:3].copy()
-        k2 = kpts[i, :, :, :, 0:2].copy()
-        k2[:, :, 1:] = k2[:, :, :1] + k2[:, :, 1:]
-        k2 = k2 * input_size[None, None, None, :]
+        human_prob, score, k2, out_depth = decode_predictions(
+            logits[i], kpts[i], depth[i], max_depth, input_size)
 
         gt_kpts2d = np.asarray(tgt["kpts2d"], np.float32)[:m]
         gt_depth = np.asarray(tgt["depth"], np.float32)[:m].copy()

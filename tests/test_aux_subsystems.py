@@ -122,3 +122,16 @@ def test_config_validate():
             (dict(dtype="float16"), "dtype")):
         with pytest.raises(ValueError, match=match):
             Config().replace(**bad).validate()
+
+
+def test_cli_bool_flags_reject_unrecognized_values():
+    """'--aux_loss yes' must error, not silently parse as False."""
+    import argparse
+
+    import pytest
+
+    from snipper_tpu.cli.common import _strict_bool
+
+    assert _strict_bool("true") is True and _strict_bool("0") is False
+    with pytest.raises(argparse.ArgumentTypeError):
+        _strict_bool("yes")

@@ -114,3 +114,21 @@ def test_jta_split_and_listing(tmp_path):
     (root / "moving_camera_seq.txt").write_text("")
     listing = jta_pp.prepare_listing(str(root), str(root))
     assert len(listing["train"]["seq_1"]) == 10
+
+
+def test_jta_listing_requires_exclusion_list(tmp_path):
+    """prepare_listing is NAMED no_moving_camera: silently proceeding
+    without the 99-sequence exclusion list would label moving-camera-
+    contaminated data as clean — a missing list must raise."""
+    import os
+
+    import pytest
+
+    root = tmp_path / "jta"
+    os.makedirs(root / "ann_split" / "train" / "seq_1")
+    with pytest.raises(FileNotFoundError, match="moving_camera_seq"):
+        jta_pp.prepare_listing(str(root), str(root))
+    # explicit opt-out still works without the list
+    listing = jta_pp.prepare_listing(str(root), str(root),
+                                     exclude_moving_camera=False)
+    assert "train" in listing

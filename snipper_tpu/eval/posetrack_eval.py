@@ -271,6 +271,29 @@ class MOTAccumulator:
         }
 
 
+def _drop_gt_empty(gt_frames: List[Frame], pred_frames: List[Frame]):
+    """poseval ``cleanupData`` (eval_helpers.py:281-289): frames whose GT
+    has no annotations are removed — together with their predictions —
+    before ANY scoring. Shared by every entry point so the standalone
+    AP/PCKh/tracking APIs agree with evaluate_posetrack18."""
+    kept = [(g, p) for g, p in zip(gt_frames, pred_frames)
+            if g.kpts.shape[0] > 0]
+    if not kept:
+        return [], []
+    gs, ps = zip(*kept)
+    return list(gs), list(ps)
+
+
+def _accumulate_frame(seq_accs: Dict[str, Dict[int, "MOTAccumulator"]],
+                      seq: str, mot: Dict, J: int):
+    per_joint = seq_accs.setdefault(
+        seq, {j: MOTAccumulator() for j in range(J)})
+    for j in range(J):
+        m = mot.get(j)
+        if m is not None:
+            per_joint[j].update(m["gt_ids"], m["pr_ids"], m["dist"])
+
+
 def _aggregate_tracking(seq_accs: Dict[str, Dict[int, "MOTAccumulator"]],
                         J: int) -> Dict[str, np.ndarray]:
     """Sum per-(sequence, joint) accumulators into per-joint metrics."""
@@ -293,19 +316,15 @@ def _aggregate_tracking(seq_accs: Dict[str, Dict[int, "MOTAccumulator"]],
 
 def evaluate_tracking(gt_frames: List[Frame], pred_frames: List[Frame],
                       dist_thresh: float = 0.5) -> Dict[str, np.ndarray]:
-    """Per-joint MOTA/MOTP across sequences (reference evaluateTracking)."""
+    """Per-joint MOTA/MOTP across sequences (reference evaluateTracking;
+    GT-empty frames dropped per the poseval cleanup protocol)."""
+    gt_frames, pred_frames = _drop_gt_empty(gt_frames, pred_frames)
     J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size),
             default=15)
     seq_accs: Dict[str, Dict[int, MOTAccumulator]] = {}
     for g, p in zip(gt_frames, pred_frames):
         _, _, _, mot = assign_frame(g, p, dist_thresh)
-        per_joint = seq_accs.setdefault(
-            g.seq, {j: MOTAccumulator() for j in range(J)})
-        for j in range(J):
-            m = mot.get(j)
-            if m is None:
-                continue
-            per_joint[j].update(m["gt_ids"], m["pr_ids"], m["dist"])
+        _accumulate_frame(seq_accs, g.seq, mot, J)
     return _aggregate_tracking(seq_accs, J)
 
 
@@ -314,6 +333,7 @@ def evaluate_pckh(gt_frames: List[Frame], pred_frames: List[Frame],
     """Per-joint PCKh table + mean (reference
     ``poseval_old/evaluatePCKh.py``): fraction of GT joints whose
     pose-assigned prediction falls within ``dist_thresh`` x head size."""
+    gt_frames, pred_frames = _drop_gt_empty(gt_frames, pred_frames)
     J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size), default=15)
     correct = np.zeros(J, np.int64)
     total = np.zeros(J, np.int64)
@@ -329,6 +349,7 @@ def evaluate_pckh(gt_frames: List[Frame], pred_frames: List[Frame],
 
 def evaluate_ap(gt_frames: List[Frame], pred_frames: List[Frame],
                 dist_thresh: float = 0.5) -> Dict[str, np.ndarray]:
+    gt_frames, pred_frames = _drop_gt_empty(gt_frames, pred_frames)
     all_s, all_l, all_n = [], [], []
     for g, p in zip(gt_frames, pred_frames):
         s, l, n, _ = assign_frame(g, p, dist_thresh)
@@ -419,12 +440,7 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
             correct[:len(c)] += c
             total[:len(t)] += t
         if eval_tracking:
-            per_joint = seq_accs.setdefault(
-                g.seq, {j: MOTAccumulator() for j in range(J)})
-            for j in range(J):
-                m = mot.get(j)
-                if m is not None:
-                    per_joint[j].update(m["gt_ids"], m["pr_ids"], m["dist"])
+            _accumulate_frame(seq_accs, g.seq, mot, J)
     if eval_pose:
         out["ap"] = compute_ap(all_s, all_l, all_n)
         with np.errstate(invalid="ignore", divide="ignore"):

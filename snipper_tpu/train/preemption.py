@@ -25,6 +25,7 @@ class PreemptionGuard:
 
     def __init__(self, on_signal: Optional[Callable[[int], None]] = None):
         self.should_stop = False
+        self._sigint_seen = False
         self._on_signal = on_signal
         self._prev = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -34,13 +35,18 @@ class PreemptionGuard:
                 pass
 
     def _handle(self, signum, frame):
-        if self.should_stop and signum == signal.SIGINT:
-            # second Ctrl-C: the flag is only polled between steps, and a
-            # TPU compile (20-300 s) or a wedged tunnel never reaches the
-            # poll — escalate so the user can actually interrupt
-            signal.signal(signal.SIGINT,
-                          self._prev.get(signal.SIGINT, signal.SIG_DFL))
-            raise KeyboardInterrupt
+        if signum == signal.SIGINT:
+            if self._sigint_seen:
+                # SECOND Ctrl-C: the flag is only polled between steps, and
+                # a TPU compile (20-300 s) or a wedged tunnel never reaches
+                # the poll — escalate so the user can actually interrupt.
+                # (Keyed on a prior SIGINT, not on should_stop: a single
+                # Ctrl-C after a SIGTERM preemption must NOT abort the
+                # preemption checkpoint save.)
+                signal.signal(signal.SIGINT,
+                              self._prev.get(signal.SIGINT, signal.SIG_DFL))
+                raise KeyboardInterrupt
+            self._sigint_seen = True
         self.should_stop = True
         if self._on_signal is not None:
             self._on_signal(signum)

@@ -334,3 +334,34 @@ def test_writer_aligns_overlapping_snippets_by_traj_id(tmp_path):
     # average of 20 and 40
     np.testing.assert_allclose(k3[k3[:, 2] > 0, 0], 10.0)
     np.testing.assert_allclose(k7[k7[:, 2] > 0, 0], 30.0)
+
+
+def test_standalone_tracking_drops_gt_empty_frames():
+    """evaluate_tracking applies the same poseval cleanup protocol as
+    evaluate_posetrack18: a prediction on a GT-empty frame is ignored,
+    not an FP."""
+    gt = _gt_frame([(100, 100)], [1])
+    empty_gt = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64), seq="s0")
+    stray = _pred_from_gt(_gt_frame([(400, 400)], [9]))
+    m = evaluate_tracking([gt, empty_gt], [_pred_from_gt(gt), stray])
+    np.testing.assert_allclose(m["mota"][J], 100.0)
+
+
+def test_preemption_single_sigint_after_sigterm_does_not_raise():
+    """One Ctrl-C AFTER a SIGTERM preemption must not abort the
+    preemption checkpoint save; only a SECOND SIGINT escalates."""
+    import signal
+
+    import pytest
+
+    from snipper_tpu.train.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+    try:
+        guard._handle(signal.SIGTERM, None)
+        assert guard.should_stop
+        guard._handle(signal.SIGINT, None)     # first Ctrl-C: flag only
+        with pytest.raises(KeyboardInterrupt):
+            guard._handle(signal.SIGINT, None)  # second: escalate
+    finally:
+        guard.restore()

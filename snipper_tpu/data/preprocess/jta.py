@@ -9,8 +9,9 @@ Counterpart of reference ``datasets/data_preprocess/jta.py``:
 - ``prepare_listing``: index JSON of available frames per sequence; the
   fixed-camera variant excludes the 99 moving-camera sequences
   (``jta.py:234-257``, list shipped as moving_camera_seq.txt).
-- video->frame extraction is delegated to ffmpeg (cv2-free); JTA ships
-  900-frame seq_*.mp4 videos.
+- video->frame extraction prefers ffmpeg, falling back to cv2
+  VideoCapture (the reference's own mechanism, ``jta.py:11-60``) when the
+  ffmpeg binary is absent; JTA ships 900-frame seq_*.mp4 videos.
 """
 
 from __future__ import annotations
@@ -26,21 +27,48 @@ import numpy as np
 MOVING_CAMERA_SEQS_FILE = "moving_camera_seq.txt"
 
 
+def _extract_frames_cv2(video_path: str, out: str, half_res: bool):
+    """cv2 VideoCapture fallback — the reference's own mechanism
+    (``jta.py:11-60``: read, resize to half, imwrite)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if half_res:
+            frame = cv2.resize(frame, (frame.shape[1] // 2,
+                                       frame.shape[0] // 2))
+        cv2.imwrite(os.path.join(out, f"{i:03d}.jpg"), frame,
+                    [int(cv2.IMWRITE_JPEG_QUALITY), 95])
+        i += 1
+    cap.release()
+    return i
+
+
 def extract_frames(data_dir: str, out_dir: str, half_res: bool = True):
-    """Split seq videos into JPEG frames at half resolution via ffmpeg
-    (reference uses cv2 VideoCapture + resize, ``jta.py:11-60``)."""
+    """Split seq videos into JPEG frames at half resolution: ffmpeg when
+    the binary exists, else cv2 VideoCapture (reference ``jta.py:11-60``)."""
+    import shutil
+
+    have_ffmpeg = shutil.which("ffmpeg") is not None
     for subset in os.listdir(os.path.join(data_dir, "videos")):
         for video in sorted(os.listdir(os.path.join(data_dir, "videos",
                                                     subset))):
             seq = video.split(".")[0]
             out = os.path.join(out_dir, "images_half", subset, seq)
             os.makedirs(out, exist_ok=True)
-            vf = "scale=iw/2:ih/2" if half_res else "null"
-            subprocess.run(
-                ["ffmpeg", "-y", "-i",
-                 os.path.join(data_dir, "videos", subset, video),
-                 "-vf", vf, "-q:v", "2", "-start_number", "0",
-                 os.path.join(out, "%03d.jpg")], check=True)
+            src = os.path.join(data_dir, "videos", subset, video)
+            if have_ffmpeg:
+                vf = "scale=iw/2:ih/2" if half_res else "null"
+                subprocess.run(
+                    ["ffmpeg", "-y", "-i", src,
+                     "-vf", vf, "-q:v", "2", "-start_number", "0",
+                     os.path.join(out, "%03d.jpg")], check=True)
+            else:
+                _extract_frames_cv2(src, out, half_res)
 
 
 def split_annotations(data_dir: str, out_dir: str, n_frames: int = 900):

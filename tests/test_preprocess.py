@@ -6,6 +6,7 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from snipper_tpu.config import Config
@@ -132,3 +133,28 @@ def test_jta_listing_requires_exclusion_list(tmp_path):
     listing = jta_pp.prepare_listing(str(root), str(root),
                                      exclude_moving_camera=False)
     assert "train" in listing
+
+
+def test_jta_extract_frames_cv2_fallback(tmp_path):
+    """Video -> half-res JPEG frames without the ffmpeg binary (absent in
+    this image): the cv2 VideoCapture fallback is the reference's own
+    mechanism (jta.py:11-60)."""
+    import numpy as np
+
+    cv2 = pytest.importorskip("cv2")
+    os.makedirs(tmp_path / "videos" / "train")
+    vw = cv2.VideoWriter(str(tmp_path / "videos" / "train" / "seq_1.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    if not vw.isOpened():
+        pytest.skip("no mp4 encoder in this cv2 build")
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        vw.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    vw.release()
+
+    jta_pp.extract_frames(str(tmp_path), str(tmp_path))
+    out = sorted(os.listdir(tmp_path / "images_half" / "train" / "seq_1"))
+    assert out == [f"{i:03d}.jpg" for i in range(5)]
+    img = cv2.imread(str(tmp_path / "images_half" / "train" / "seq_1" /
+                         "000.jpg"))
+    assert img.shape == (24, 32, 3)   # half resolution

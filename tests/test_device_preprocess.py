@@ -1,6 +1,7 @@
 """Device (XLA) preprocessing parity vs the host warp (cv2 semantics)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from snipper_tpu.data.device_preprocess import (invert_axis_aligned,
@@ -56,3 +57,32 @@ def test_device_warp_batched_snippet():
     for t in range(4):
         want = generate_patch_image(imgs[t], False, trans, (out_h, out_w))
         np.testing.assert_allclose(got[t], want, atol=2e-3)
+
+
+def test_host_warp_matches_cv2_warpaffine_oracle():
+    """generate_patch_image vs the reference's literal op —
+    cv2.warpAffine(INTER_LINEAR) + /255 (reference transforms.py:137-144).
+    cv2 interpolates in 5-bit fixed point, so agreement is ~2^-5/255."""
+    cv2 = pytest.importorskip("cv2")
+
+    from snipper_tpu.data.transforms import (gen_trans_from_patch,
+                                             generate_patch_image)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+    # rotated + scaled crop, partially out of bounds (zero border)
+    trans = gen_trans_from_patch(60.0, 50.0, 200.0, 150.0, 96, 64, 25.0)
+
+    ours = generate_patch_image(img, False, trans, (64, 96))
+    ref = cv2.warpAffine(img, trans, (96, 64),
+                         flags=cv2.INTER_LINEAR).astype(np.float32) / 255
+
+    err = np.abs(ours - ref)
+    assert err.max() < 4.0 / 255, err.max()
+    assert err.mean() < 0.5 / 255, err.mean()
+
+    # flipped path too (reference flips the source first)
+    ours_f = generate_patch_image(img, True, trans, (64, 96))
+    ref_f = cv2.warpAffine(img[:, ::-1, :], trans, (96, 64),
+                           flags=cv2.INTER_LINEAR).astype(np.float32) / 255
+    assert np.abs(ours_f - ref_f).max() < 4.0 / 255

@@ -86,3 +86,35 @@ def test_host_warp_matches_cv2_warpaffine_oracle():
     ref_f = cv2.warpAffine(img[:, ::-1, :], trans, (96, 64),
                            flags=cv2.INTER_LINEAR).astype(np.float32) / 255
     assert np.abs(ours_f - ref_f).max() < 4.0 / 255
+
+
+def test_affine_construction_matches_cv2_oracle():
+    """gen_trans_from_patch vs the reference's cv2.getAffineTransform
+    3-point construction (transforms.py:155-185): center + rotated
+    down/right direction triangles, forward and inverse."""
+    cv2 = pytest.importorskip("cv2")
+
+    from snipper_tpu.data.transforms import gen_trans_from_patch
+
+    def reference_trans(cx, cy, sw, sh, dw, dh, rot, inv):
+        r = np.pi * rot / 180
+        rot2d = lambda p: np.array(  # noqa: E731
+            [p[0] * np.cos(r) - p[1] * np.sin(r),
+             p[0] * np.sin(r) + p[1] * np.cos(r)], np.float32)
+        sc = np.array([cx, cy], np.float32)
+        src = np.stack([sc, sc + rot2d([0, sh * 0.5]),
+                        sc + rot2d([sw * 0.5, 0])])
+        dc = np.array([dw * 0.5, dh * 0.5], np.float32)
+        dst = np.stack([dc, dc + [0, dh * 0.5], dc + [dw * 0.5, 0]])
+        a, b = (dst, src) if inv else (src, dst)
+        return cv2.getAffineTransform(np.float32(a), np.float32(b))
+
+    for cx, cy, sw, sh, dw, dh, rot in (
+            (960.0, 540.0, 1920.0, 1080.0, 800, 600, 0.0),
+            (300.0, 200.0, 500.0, 400.0, 96, 64, 25.0),
+            (100.0, 400.0, 777.0, 333.0, 128, 96, -17.5)):
+        for inv in (False, True):
+            ours = gen_trans_from_patch(cx, cy, sw, sh, dw, dh, rot, inv=inv)
+            want = reference_trans(cx, cy, sw, sh, dw, dh, rot, inv)
+            np.testing.assert_allclose(ours, want, rtol=0, atol=1e-3,
+                                       err_msg=f"{(cx, rot, inv)}")

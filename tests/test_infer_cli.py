@@ -30,7 +30,13 @@ def test_snippet_batch_matches_per_snippet(tmp_path, monkeypatch):
 
     data_dir = _frames_dir(tmp_path)
     outs = {}
-    for tag, extra in (("b1", []), ("b2", ["--snippet_batch", "2"])):
+    for tag, extra in (
+            ("b1", []),
+            ("b2", ["--snippet_batch", "2"]),
+            # every dispatch-shaping flag at once: sharded over the 8
+            # virtual devices, 2 snippets per chip, frames warped on device
+            ("dp", ["--data_parallel", "--snippet_batch", "2",
+                    "--device_preprocess"])):
         out = str(tmp_path / tag)
         monkeypatch.setattr(sys, "argv", [
             "infer", "--preset", "tiny", "--data_dir", data_dir,
@@ -39,13 +45,17 @@ def test_snippet_batch_matches_per_snippet(tmp_path, monkeypatch):
         with open(os.path.join(out, "tracks.pkl"), "rb") as f:
             outs[tag] = pickle.load(f)
 
-    a, b = outs["b1"], outs["b2"]
-    assert a["max_pid"] == b["max_pid"]
-    assert set(a["frames"]) == set(b["frames"])
-    for k in a["frames"]:
-        pids_a, data_a = a["frames"][k]
-        pids_b, data_b = b["frames"][k]
-        assert list(pids_a) == list(pids_b)
-        # coordinates are pixel-scale; batch-shape-dependent XLA fusion
-        # gives ~1e-6 normalized jitter -> ~1e-4 px after decode
-        np.testing.assert_allclose(data_a, data_b, rtol=1e-3, atol=5e-3)
+    a = outs["b1"]
+    for tag in ("b2", "dp"):
+        b = outs[tag]
+        assert a["max_pid"] == b["max_pid"], tag
+        assert set(a["frames"]) == set(b["frames"]), tag
+        for k in a["frames"]:
+            pids_a, data_a = a["frames"][k]
+            pids_b, data_b = b["frames"][k]
+            assert list(pids_a) == list(pids_b), (tag, k)
+            # coordinates are pixel-scale; batch-shape-dependent XLA fusion
+            # (and the device-vs-host warp) gives ~1e-6 normalized jitter
+            # -> ~1e-4 px after decode
+            np.testing.assert_allclose(data_a, data_b, rtol=1e-3, atol=5e-3,
+                                       err_msg=f"{tag}@{k}")

@@ -24,8 +24,13 @@ from snipper_tpu.train.checkpoint import (load_torch_checkpoint,
 def main():
     parser = argparse.ArgumentParser("snipper_tpu inference")
     add_config_args(parser)
-    parser.add_argument("--data_dir", type=str, required=True,
+    parser.add_argument("--data_dir", type=str, default=None,
                         help="directory of video frames")
+    parser.add_argument("--video", type=str, default=None,
+                        help="video file; frames are extracted to "
+                             "{output_dir}/frames and the pipeline runs on "
+                             "them (the reference requires pre-extracted "
+                             "frames)")
     parser.add_argument("--output_dir", type=str, default="./demo_out")
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--pretrained_torch", type=str, default=None)
@@ -48,6 +53,8 @@ def main():
     args = parser.parse_args()
     if args.snippet_batch < 1:
         parser.error("--snippet_batch must be >= 1")
+    if bool(args.data_dir) == bool(args.video):
+        parser.error("exactly one of --data_dir / --video is required")
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
     cfg = build_config(args)
@@ -57,6 +64,13 @@ def main():
     if args.deform_impl is None and cfg.deform_impl in ("pmerged", "xla"):
         cfg = cfg.replace(deform_impl="windowed")
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.video:
+        from snipper_tpu.infer.pipeline import extract_video_frames
+
+        args.data_dir = os.path.join(args.output_dir, "frames")
+        n = extract_video_frames(args.video, args.data_dir)
+        print(f"extracted {n} frames from {args.video} -> {args.data_dir}",
+              flush=True)
 
     model, params = init_model(cfg, jax.random.PRNGKey(0))
     if args.pretrained_torch:

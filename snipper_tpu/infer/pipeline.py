@@ -49,6 +49,35 @@ def _read_rgb(path: str) -> np.ndarray:
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def extract_video_frames(video_path: str, out_dir: str) -> int:
+    """Decode a video file into numbered JPEG frames (``%06d.jpg``) so the
+    frame-directory pipeline (snippet sampling, association by frame index,
+    visualization re-reads) runs unchanged on raw videos.
+
+    The reference requires pre-extracted frames (its ``get_all_samples``
+    lists a directory, ``inference_utils.py:143-195``; videos are split by a
+    separate JTA preprocessing step, ``datasets/data_preprocess/jta.py:11-60``
+    — the same cv2 mechanism used here). Returns the frame count."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_path}")
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        cv2.imwrite(os.path.join(out_dir, f"{i:06d}.jpg"), frame,
+                    [int(cv2.IMWRITE_JPEG_QUALITY), 95])
+        i += 1
+    cap.release()
+    if i == 0:
+        raise ValueError(f"no frames decoded from {video_path}")
+    return i
+
+
 def snippet_index(data_dir: str, num_frames: int, gap: int):
     """(frame_indices, all_files): snippet start stride is ``gap * (T - 1)``
     (``gap`` when T == 1), so the last frame of snippet k is the first frame

@@ -1,0 +1,74 @@
+"""Serving export: jax.export StableHLO artifact roundtrip + CLI.
+
+The artifact (weights baked in) must reproduce the live ``model.apply``
+outputs exactly after serialize -> disk -> deserialize, with no model code
+in the serving path beyond ``jax.export.deserialize``.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_export_roundtrip_matches_apply(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.infer.export import (export_forward, load_exported,
+                                          save_exported)
+    from snipper_tpu.models.snipper import init_model
+
+    cfg = Config.tiny().replace(deform_impl="pmerged")
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "tiny.stablehlo")
+    size = save_exported(export_forward(cfg, params, batch_size=1), path)
+    assert size == os.path.getsize(path) > 0
+
+    run = load_exported(path)
+    x = np.random.default_rng(0).uniform(
+        0, 1, (1, cfg.num_frames, cfg.input_height, cfg.input_width, 3)
+    ).astype(np.float32)
+    out = run(x)
+    ref = model.apply({"params": params}, jnp.asarray(x))
+
+    # train/debug-only trees are dropped from the serving artifact
+    for k in ("aux_logits", "aux_kpts2d", "aux_depth", "references"):
+        assert k not in out and k in ref, k
+    for k in ("pred_logits", "pred_kpts2d", "pred_depth"):
+        # not bit-identical: the exported module fuses independently of the
+        # live jit — but must agree to float32 roundoff
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                    rtol=1e-5, atol=1e-5, err_msg=k)
+    assert len(out["heatmaps"]) == len(ref["heatmaps"])
+    assert float(np.asarray(out["sampling_overflow"])) == 0.0
+
+    # batch shape is part of the artifact contract
+    with pytest.raises(Exception):
+        run(np.repeat(x, 2, axis=0))
+
+
+@pytest.mark.slow
+def test_export_cli(tmp_path, monkeypatch, capsys):
+    from snipper_tpu.cli import export as export_cli
+
+    out = str(tmp_path / "model.stablehlo")
+    monkeypatch.setattr(sys, "argv", [
+        "export", "--preset", "tiny", "--output", out,
+        "--param_dtype", "bfloat16"])
+    export_cli.main()
+    assert os.path.getsize(out) > 0
+    assert "impl=pmerged" in capsys.readouterr().out
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.infer.export import load_exported
+
+    cfg = Config.tiny()
+    run = load_exported(out)
+    x = np.zeros((1, cfg.num_frames, cfg.input_height, cfg.input_width, 3),
+                 np.float32)
+    o = run(x)
+    assert np.isfinite(np.asarray(o["pred_kpts2d"], np.float32)).all()

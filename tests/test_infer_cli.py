@@ -25,6 +25,48 @@ def _frames_dir(tmp_path, n=8, w=96, h=64):
 
 
 @pytest.mark.slow
+def test_video_input_matches_frames_dir(tmp_path, monkeypatch):
+    """--video decodes to {output_dir}/frames and must yield the same
+    tracks as running on that frame directory directly."""
+    import cv2
+
+    from snipper_tpu.cli import infer as infer_cli
+
+    rng = np.random.default_rng(1)
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 5, (96, 64))
+    assert w.isOpened()
+    for _ in range(6):
+        w.write(rng.integers(0, 255, (64, 96, 3), np.uint8))
+    w.release()
+
+    out_v = str(tmp_path / "from_video")
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--preset", "tiny", "--video", video, "--seq_gap", "1",
+        "--output_dir", out_v])
+    infer_cli.main()
+    frames_dir = os.path.join(out_v, "frames")
+    assert len(os.listdir(frames_dir)) == 6
+
+    out_d = str(tmp_path / "from_frames")
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--preset", "tiny", "--data_dir", frames_dir,
+        "--seq_gap", "1", "--output_dir", out_d])
+    infer_cli.main()
+
+    tracks = {}
+    for out in (out_v, out_d):
+        with open(os.path.join(out, "tracks.pkl"), "rb") as f:
+            tracks[out] = pickle.load(f)
+    a, b = tracks[out_v], tracks[out_d]
+    assert a["max_pid"] == b["max_pid"]
+    assert set(a["frames"]) == set(b["frames"])
+    for k in a["frames"]:
+        assert list(a["frames"][k][0]) == list(b["frames"][k][0])
+        np.testing.assert_array_equal(a["frames"][k][1], b["frames"][k][1])
+
+
+@pytest.mark.slow
 def test_snippet_batch_matches_per_snippet(tmp_path, monkeypatch):
     from snipper_tpu.cli import infer as infer_cli
 

@@ -29,6 +29,39 @@ def test_all_gather_single_process():
     assert merge_eval_results([{"x": 1}, {"x": 2}]) == [{"x": 1}, {"x": 2}]
 
 
+def test_all_gather_two_process_padding(monkeypatch):
+    """The multi-process leg (length exchange, pad-to-max, per-row slice)
+    with a faked peer: payloads of UNEQUAL pickle length in both orders,
+    so the pad/truncate logic is exercised from each side."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    def run_as_process0(obj0, obj1):
+        p1 = pickle.dumps(obj1)
+
+        def fake_allgather(x):
+            x = np.asarray(x)
+            if x.dtype == np.int64:          # the length exchange
+                return np.stack([x, np.array([len(p1)], np.int64)])
+            row1 = np.zeros_like(x)          # the padded byte gather
+            row1[: len(p1)] = np.frombuffer(p1, np.uint8)
+            return np.stack([x, row1])
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(multihost_utils, "process_allgather",
+                            fake_allgather)
+        try:
+            return all_gather_objects(obj0)
+        finally:
+            monkeypatch.undo()
+
+    small = {"rank": "small"}
+    big = {"rank": "big", "payload": list(range(500))}
+    assert run_as_process0(small, big) == [small, big]   # peer longer
+    assert run_as_process0(big, small) == [big, small]   # peer shorter
+
+
 def test_aux_losses_present_and_weighted():
     """Each aux decoder layer re-runs matching + all losses except heatmap
     (reference models/model.py:535-544) and shares base coefficients."""

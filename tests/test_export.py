@@ -25,7 +25,12 @@ def test_export_roundtrip_matches_apply(tmp_path):
     cfg = Config.tiny().replace(deform_impl="pmerged")
     model, params = init_model(cfg, jax.random.PRNGKey(0))
     path = str(tmp_path / "tiny.stablehlo")
-    size = save_exported(export_forward(cfg, params, batch_size=1), path)
+    # multi-platform: cross-lowers the TPU variant from this CPU host (the
+    # serving story: artifacts are built wherever, run on the fleet)
+    exported = export_forward(cfg, params, batch_size=1,
+                              platforms=["cpu", "tpu"])
+    assert tuple(exported.platforms) == ("cpu", "tpu")
+    size = save_exported(exported, path)
     assert size == os.path.getsize(path) > 0
 
     run = load_exported(path)

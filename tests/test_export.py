@@ -58,12 +58,23 @@ def test_export_roundtrip_matches_apply(tmp_path):
 
 @pytest.mark.slow
 def test_export_cli(tmp_path, monkeypatch, capsys):
+    import jax
+
     from snipper_tpu.cli import export as export_cli
+    from snipper_tpu.models.snipper import init_model
+    from snipper_tpu.train.checkpoint import save_checkpoint
+
+    # embed weights from an Orbax checkpoint (the trained-model flow)
+    from snipper_tpu.config import Config as Cfg
+
+    _, params = init_model(Cfg.tiny(), jax.random.PRNGKey(7))
+    ckpt = save_checkpoint(str(tmp_path / "ckpts"), {"params": params},
+                           epoch=0)
 
     out = str(tmp_path / "model.stablehlo")
     monkeypatch.setattr(sys, "argv", [
         "export", "--preset", "tiny", "--output", out,
-        "--param_dtype", "bfloat16"])
+        "--resume", ckpt, "--param_dtype", "bfloat16"])
     export_cli.main()
     assert os.path.getsize(out) > 0
     assert "impl=pmerged" in capsys.readouterr().out

@@ -37,18 +37,27 @@ import numpy as np
 A100_BASELINE_SNIPPETS_PER_SEC = 10.0  # estimate; see BASELINE.md
 
 
-def _wait_for_backend(attempts: int = 5, sleep_s: float = 60.0):
+def _wait_for_backend(attempts: int = None, sleep_s: float = None):
     """Block until the TPU backend can run a trivial op.
 
     The axon tunnel occasionally refuses new clients for a window of
     minutes (``Unable to initialize backend 'axon': UNAVAILABLE``, e.g.
-    right after another client disconnected uncleanly). A benchmark that
-    dies on that transient would record no number for the whole round, so
-    retry the first tiny op a few times before giving up.
+    right after another client disconnected uncleanly; observed outages on
+    2026-08-17/18 lasted hours). A benchmark that dies on that transient
+    would record no number for the whole round, so retry the first tiny op
+    before giving up — default budget ~30 min of sleep (each failed init
+    attempt itself can hang for tens of minutes); override with
+    SNIPPER_BENCH_RETRIES / SNIPPER_BENCH_RETRY_SLEEP.
     """
+    import os
     import sys
 
     import jax.numpy as jnp
+
+    if attempts is None:
+        attempts = int(os.environ.get("SNIPPER_BENCH_RETRIES", 10))
+    if sleep_s is None:
+        sleep_s = float(os.environ.get("SNIPPER_BENCH_RETRY_SLEEP", 180))
 
     for attempt in range(attempts):
         try:
@@ -69,8 +78,22 @@ def _wait_for_backend(attempts: int = 5, sleep_s: float = 60.0):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: the canonical configs cost 20-300 s to
+    # compile over the tunnel; a warm rerun (driver retries, repeated
+    # rounds on one machine) skips straight to measurement
+    cache = os.environ.get("SNIPPER_COMPILATION_CACHE",
+                           "/tmp/snipper_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 - older jax without the knobs
+        pass
 
     _wait_for_backend()
 

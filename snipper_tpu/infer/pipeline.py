@@ -61,6 +61,12 @@ def extract_video_frames(video_path: str, out_dir: str) -> int:
     import cv2
 
     os.makedirs(out_dir, exist_ok=True)
+    # a previous run may have extracted MORE frames into the same directory
+    # (e.g. a longer clip); the pipeline lists the directory, so stale
+    # trailing frames would silently join the new sequence — clear them
+    for old in os.listdir(out_dir):
+        if old.endswith(".jpg"):
+            os.remove(os.path.join(out_dir, old))
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {video_path}")

@@ -1,10 +1,12 @@
 """Tests for auxiliary subsystems: preemption guard, multi-host gather
-(single-process path), and aux-loss weighting."""
+(single-process, faked-peer, and real two-process), and aux-loss
+weighting."""
 
 import os
 import signal
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -60,6 +62,40 @@ def test_all_gather_two_process_padding(monkeypatch):
     big = {"rank": "big", "payload": list(range(500))}
     assert run_as_process0(small, big) == [small, big]   # peer longer
     assert run_as_process0(big, small) == [big, small]   # peer shorter
+
+
+@pytest.mark.slow
+def test_all_gather_objects_two_real_processes():
+    """The same gather over a REAL two-process group: each subprocess gets
+    one CPU device and a gloo coordination service (the TPU-native analog
+    of the reference's NCCL ``init_process_group``, util/misc.py:400-439),
+    so ``jax.process_count() == 2`` with no monkeypatching — the length
+    exchange, padding, and rank ordering run over actual collectives."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    addr = f"localhost:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "_mp_gather_worker.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = (repo + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else repo)
+    procs = [subprocess.Popen([sys.executable, worker, addr, str(i), "2"],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    for i, out in enumerate(outs):
+        assert f"worker {i} OK" in out, out
 
 
 def test_aux_losses_present_and_weighted():

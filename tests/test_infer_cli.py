@@ -24,6 +24,31 @@ def _frames_dir(tmp_path, n=8, w=96, h=64):
     return str(d)
 
 
+def test_extract_video_frames_clears_stale_frames(tmp_path):
+    """Re-extracting a shorter clip into the same directory must not leave
+    trailing frames from a previous longer run (the pipeline lists the
+    directory, so stale frames would silently join the sequence)."""
+    import cv2
+
+    from snipper_tpu.infer.pipeline import extract_video_frames
+
+    rng = np.random.default_rng(2)
+    video = str(tmp_path / "short.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 5, (32, 24))
+    assert w.isOpened()
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (24, 32, 3), np.uint8))
+    w.release()
+
+    out = tmp_path / "frames"
+    out.mkdir()
+    for i in range(7):  # a previous, longer extraction
+        (out / f"{i:06d}.jpg").write_bytes(b"stale")
+    n = extract_video_frames(video, str(out))
+    assert n == 3
+    assert sorted(os.listdir(out)) == [f"{i:06d}.jpg" for i in range(3)]
+
+
 @pytest.mark.slow
 def test_video_input_matches_frames_dir(tmp_path, monkeypatch):
     """--video decodes to {output_dir}/frames and must yield the same

@@ -57,10 +57,18 @@ def main():
         0, 1, (1, cfg.num_frames, cfg.input_height, cfg.input_width, 3)
     ).astype(np.float32)
 
+    # serving shape: jitted Exported.call, device-resident input
     run_art = load_exported(path)
-    ms_art = time_fwd(run_art, x)
-    print(f"artifact forward: {ms_art:.1f} ms/snippet "
+    ms_art = time_fwd(run_art, jnp.asarray(x))
+    print(f"artifact forward (jit): {ms_art:.1f} ms/snippet "
           f"({1e3 / ms_art:.2f} snippets/s)", flush=True)
+
+    # naive shape: eager Exported.call, numpy input per request (per-call
+    # re-dispatch + 23 MB host->device upload through the tunnel)
+    run_art_eager = load_exported(path, jit_call=False)
+    ms_eager = time_fwd(run_art_eager, x)
+    print(f"artifact forward (eager, numpy in): {ms_eager:.1f} ms/snippet "
+          f"({1e3 / ms_eager:.2f} snippets/s)", flush=True)
 
     jit_live = jax.jit(lambda xx: model.apply({"params": params}, xx))
     ms_live = time_fwd(jit_live, jnp.asarray(x))

@@ -70,16 +70,26 @@ def save_exported(exported, path: str) -> int:
     return len(blob)
 
 
-def load_exported(path: str):
+def load_exported(path: str, jit_call: bool = True):
     """Deserialize an artifact; returns a callable
-    ``run(images) -> output dict`` (wraps ``Exported.call``)."""
+    ``run(images) -> output dict`` (wraps ``Exported.call``).
+
+    ``jit_call=True`` (default) wraps the call in ``jax.jit`` — the serving
+    deployment shape. Calling ``Exported.call`` eagerly re-dispatches the
+    module through the interpreter on every request; measured on v5e
+    (scripts/serve_probe.py) the eager path is ~6x slower than the jitted
+    one, which runs at live-``jax.jit`` speed."""
     import jax
 
     with open(path, "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
 
+    call = jax.jit(exported.call) if jit_call else exported.call
+
     def run(images):
-        return exported.call(np.asarray(images, np.float32))
+        if not isinstance(images, jax.Array):  # keep device arrays on device
+            images = np.asarray(images, np.float32)
+        return call(images)
 
     run.exported = exported
     return run

@@ -51,6 +51,13 @@ def test_export_roundtrip_matches_apply(tmp_path):
     assert len(out["heatmaps"]) == len(ref["heatmaps"])
     assert float(np.asarray(out["sampling_overflow"])) == 0.0
 
+    # the eager (jit_call=False) serving shape must agree with the jitted
+    # default (it is the same module, just dispatched per call)
+    out_eager = load_exported(path, jit_call=False)(x)
+    np.testing.assert_allclose(np.asarray(out_eager["pred_kpts2d"]),
+                               np.asarray(out["pred_kpts2d"]),
+                               rtol=1e-6, atol=1e-6)
+
     # batch shape is part of the artifact contract
     with pytest.raises(Exception):
         run(np.repeat(x, 2, axis=0))

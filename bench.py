@@ -85,15 +85,13 @@ def main():
 
     # persistent compile cache: the canonical configs cost 20-300 s to
     # compile over the tunnel; a warm rerun (driver retries, repeated
-    # rounds on one machine) skips straight to measurement
-    cache = os.environ.get("SNIPPER_COMPILATION_CACHE",
-                           "/tmp/snipper_xla_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # noqa: BLE001 - older jax without the knobs
-        pass
+    # rounds on one machine) skips straight to measurement. One shared
+    # implementation with the CLIs (cli.common), opted in by default here.
+    os.environ.setdefault("SNIPPER_COMPILATION_CACHE",
+                          "/tmp/snipper_xla_cache")
+    from snipper_tpu.cli.common import respect_platform_env
+
+    respect_platform_env()
 
     _wait_for_backend()
 
@@ -120,7 +118,9 @@ def main():
     from snipper_tpu.infer.pipeline import ExactnessGuard
 
     def build(c):
-        m, _ = init_model(c, jax.random.PRNGKey(0))
+        from snipper_tpu.models.snipper import build_model
+
+        m = build_model(c)  # params_bf16 already exist; no init pass
         jitted = jax.jit(lambda xx: m.apply({"params": params_bf16}, xx))
         return jitted
 

@@ -40,7 +40,7 @@ def main():
     from snipper_tpu.config import Config
     from snipper_tpu.infer.export import export_forward, load_exported, \
         save_exported
-    from snipper_tpu.models.snipper import init_model
+    from snipper_tpu.models.snipper import build_model, init_model
 
     cfg = Config.canonical_t4().replace(deform_impl="pmerged")
     model, params = init_model(cfg, jax.random.PRNGKey(0))
@@ -76,7 +76,7 @@ def main():
           f"({1e3 / ms_live:.2f} snippets/s)", flush=True)
 
     wcfg = cfg.replace(deform_impl="windowed")
-    wmodel, _ = init_model(wcfg, jax.random.PRNGKey(0))
+    wmodel = build_model(wcfg)  # same params; no second init pass
     jit_win = jax.jit(lambda xx: wmodel.apply({"params": params}, xx))
     ms_win = time_fwd(jit_win, jnp.asarray(x))
     print(f"live jit (windowed m5): {ms_win:.1f} ms/snippet "

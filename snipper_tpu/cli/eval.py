@@ -15,7 +15,7 @@ from snipper_tpu.cli.common import (add_config_args, add_data_args,
                                     build_config, build_dataset)
 from snipper_tpu.data.loader import DataLoader
 from snipper_tpu.losses.criterion import SetCriterion
-from snipper_tpu.models.snipper import init_model
+from snipper_tpu.models.snipper import build_model, init_model
 from snipper_tpu.train.checkpoint import (load_torch_checkpoint,
                                           restore_checkpoint)
 from snipper_tpu.train.engine import evaluate
@@ -51,12 +51,15 @@ def main():
     loader = DataLoader(val_ds, cfg.batch_size, shuffle=False,
                         drop_last=False, num_workers=args.num_workers)
 
-    model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
     if args.pretrained_torch:
+        model = build_model(cfg)
         params = load_torch_checkpoint(args.pretrained_torch, cfg)
     elif args.resume:
-        state = restore_checkpoint(args.resume, None)
-        params = state["params"]
+        model = build_model(cfg)
+        params = restore_checkpoint(args.resume, None)["params"]
+    else:
+        # random-init smoke run: the one case that needs an init pass
+        model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
 
     crit = SetCriterion(cfg)
     eval_step = make_eval_step(model, crit)

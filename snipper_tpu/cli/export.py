@@ -53,11 +53,12 @@ def main():
     if args.deform_impl is None:
         cfg = cfg.replace(deform_impl="pmerged")
 
-    _, params = init_model(cfg, jax.random.PRNGKey(0))
     if args.pretrained_torch:
         params = load_torch_checkpoint(args.pretrained_torch, cfg)
     elif args.resume:
         params = restore_checkpoint(args.resume, None)["params"]
+    else:
+        _, params = init_model(cfg, jax.random.PRNGKey(0))
     if args.param_dtype == "bfloat16":
         import jax.numpy as jnp
 
@@ -65,7 +66,8 @@ def main():
             lambda a: a.astype(jnp.bfloat16)
             if getattr(a, "dtype", None) == jnp.float32 else a, params)
 
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 if args.platforms else None)
     batch = args.batch_size if args.batch_size is not None else 1
     exported = export_forward(cfg, params, batch_size=batch,
                               platforms=platforms)

@@ -16,7 +16,7 @@ from snipper_tpu.cli.common import add_config_args, build_config
 from snipper_tpu.infer.pipeline import (ExactnessGuard, associate_snippets,
                                         iter_snippet_samples,
                                         prefetched, snippet_index)
-from snipper_tpu.models.snipper import init_model
+from snipper_tpu.models.snipper import build_model, init_model
 from snipper_tpu.train.checkpoint import (load_torch_checkpoint,
                                           restore_checkpoint)
 
@@ -72,11 +72,15 @@ def main():
         print(f"extracted {n} frames from {args.video} -> {args.data_dir}",
               flush=True)
 
-    model, params = init_model(cfg, jax.random.PRNGKey(0))
     if args.pretrained_torch:
+        model = build_model(cfg)
         params = load_torch_checkpoint(args.pretrained_torch, cfg)
     elif args.resume:
+        model = build_model(cfg)
         params = restore_checkpoint(args.resume, None)["params"]
+    else:
+        # demo/random-init run: the one case that needs an init pass
+        model, params = init_model(cfg, jax.random.PRNGKey(0))
 
     frame_indices, all_files = snippet_index(args.data_dir, cfg.num_frames,
                                              args.seq_gap)
@@ -133,14 +137,14 @@ def main():
 
         def build_fwd(c):
             nonlocal model
-            model, _ = init_model(c, jax.random.PRNGKey(0))
+            model = build_model(c)  # params already exist; no init pass
             return make_data_parallel_forward(model, params, mesh)[0]
     else:
         dp = 1
 
         def build_fwd(c):
             nonlocal model
-            model, _ = init_model(c, jax.random.PRNGKey(0))
+            model = build_model(c)  # params already exist; no init pass
             jitted = jax.jit(lambda p, x: model.apply({"params": p}, x))
             return lambda x: jitted(params, x)
 

@@ -39,9 +39,9 @@ def export_forward(cfg, params, batch_size: int = 1,
     import jax
     import jax.numpy as jnp
 
-    from snipper_tpu.models.snipper import init_model
+    from snipper_tpu.models.snipper import build_model
 
-    model, _ = init_model(cfg, jax.random.PRNGKey(0))
+    model = build_model(cfg)  # params are provided; no init pass needed
 
     def fwd(images):
         out = model.apply({"params": params}, images)

@@ -11,8 +11,9 @@ Counterpart of reference ``inference_utils.py``:
 - ``compute_match_cost`` (reference ``:98-108``; the padded-bbox render
   helper lives in infer.visualize).
 
-cv2-free: PIL decodes frames, the affine warp comes from
-snipper_tpu.data.transforms.
+Frame decoding is PIL, the affine warp comes from
+snipper_tpu.data.transforms; cv2 is required only for the optional
+``--video`` input path (:func:`extract_video_frames`).
 """
 
 from __future__ import annotations
@@ -60,23 +61,27 @@ def extract_video_frames(video_path: str, out_dir: str) -> int:
     — the same cv2 mechanism used here). Returns the frame count."""
     import cv2
 
-    os.makedirs(out_dir, exist_ok=True)
-    # a previous run may have extracted MORE frames into the same directory
-    # (e.g. a longer clip); the pipeline lists the directory, so stale
-    # trailing frames would silently join the new sequence — clear them
-    for old in os.listdir(out_dir):
-        if old.endswith(".jpg"):
-            os.remove(os.path.join(out_dir, old))
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {video_path}")
+    os.makedirs(out_dir, exist_ok=True)
+    # a previous run may have extracted MORE frames into the same directory
+    # (e.g. a longer clip); the pipeline lists every image file, so stale
+    # trailing frames would silently join the new sequence — clear anything
+    # snippet_index would count (only after the video proved openable)
+    for old in os.listdir(out_dir):
+        if old.lower().endswith(IMAGE_EXTS):
+            os.remove(os.path.join(out_dir, old))
     i = 0
     while True:
         ok, frame = cap.read()
         if not ok:
             break
-        cv2.imwrite(os.path.join(out_dir, f"{i:06d}.jpg"), frame,
-                    [int(cv2.IMWRITE_JPEG_QUALITY), 95])
+        path = os.path.join(out_dir, f"{i:06d}.jpg")
+        if not cv2.imwrite(path, frame,
+                           [int(cv2.IMWRITE_JPEG_QUALITY), 95]):
+            cap.release()
+            raise OSError(f"failed to write frame {i} to {path}")
         i += 1
     cap.release()
     if i == 0:

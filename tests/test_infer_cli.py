@@ -44,6 +44,16 @@ def test_extract_video_frames_clears_stale_frames(tmp_path):
     out.mkdir()
     for i in range(7):  # a previous, longer extraction
         (out / f"{i:06d}.jpg").write_bytes(b"stale")
+    # snippet_index accepts any image extension case-insensitively, so
+    # stale frames from other sources must be cleared too
+    (out / "000007.PNG").write_bytes(b"stale")
+    (out / "000008.webp").write_bytes(b"stale")
+
+    # an unopenable video must NOT destroy the previous extraction
+    with pytest.raises(FileNotFoundError):
+        extract_video_frames(str(tmp_path / "typo.mp4"), str(out))
+    assert len(os.listdir(out)) == 9
+
     n = extract_video_frames(video, str(out))
     assert n == 3
     assert sorted(os.listdir(out)) == [f"{i:06d}.jpg" for i in range(3)]

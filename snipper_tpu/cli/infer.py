@@ -36,6 +36,12 @@ def main():
     parser.add_argument("--pretrained_torch", type=str, default=None)
     parser.add_argument("--seq_gap", type=int, default=5)
     parser.add_argument("--save_visuals", action="store_true")
+    parser.add_argument("--vis_heatmap_frame_name", type=str, default=None,
+                        help="render the heatmap overlay for THIS frame "
+                             "(filename, e.g. 000012.jpg) instead of the "
+                             "first snippet; errors if the frame is not "
+                             "part of any predicted snippet (reference "
+                             "inference.py:31,209-219)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard snippets over the device mesh (snippets "
                              "are independent; composes with "
@@ -55,6 +61,8 @@ def main():
         parser.error("--snippet_batch must be >= 1")
     if bool(args.data_dir) == bool(args.video):
         parser.error("exactly one of --data_dir / --video is required")
+    if args.vis_heatmap_frame_name and not args.save_visuals:
+        parser.error("--vis_heatmap_frame_name requires --save_visuals")
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
     cfg = build_config(args)
@@ -94,6 +102,7 @@ def main():
     print(f"{len(frame_indices)} snippets over {len(all_files)} frames",
           flush=True)
     first_sample = None
+    vis_sample = None  # the snippet holding --vis_heatmap_frame_name
 
     def to_device(s):
         if args.device_preprocess:
@@ -161,6 +170,9 @@ def main():
         for s in sample_iter:
             if first_sample is None:
                 first_sample = s
+            if (vis_sample is None and args.vis_heatmap_frame_name
+                    and args.vis_heatmap_frame_name in s["filenames"]):
+                vis_sample = s
             group.append(s)
             if len(group) == gsz:
                 break
@@ -210,16 +222,29 @@ def main():
                             args.output_dir, max_pid, cfg.max_depth,
                             gap=args.seq_gap)
         save_as_videos(args.output_dir, sorted(frames.keys()), all_files)
-        # heatmap + attention-sampling overlays from the first snippet
-        # (reference visualize_heatmaps / the never-consumed attention
-        # plumbing, inference_utils.py:622-644, ms_deform_attn.py:167-233)
-        s0 = first_sample
+        # heatmap + attention-sampling overlays from the first snippet, or
+        # from the snippet holding --vis_heatmap_frame_name (reference
+        # visualize_heatmaps + frame selection, inference.py:209-219 /
+        # inference_utils.py:622-644; the attention plumbing the reference
+        # collects but never draws, ms_deform_attn.py:167-233)
+        if args.vis_heatmap_frame_name and vis_sample is None:
+            # reference inference.py:217 raises the same way
+            raise ValueError(f"frame {args.vis_heatmap_frame_name} is not "
+                             "used for prediction")
+        s0 = vis_sample if vis_sample is not None else first_sample
         imgs0 = np.asarray(to_device(s0))
         out0 = model.apply({"params": params}, jnp.asarray(imgs0)[None],
                            return_attn=True)
-        visualize_heatmaps([np.asarray(h) for h in out0["heatmaps"]],
-                           imgs0,
-                           os.path.join(args.output_dir, "heatmaps"))
+        hms = [np.asarray(h) for h in out0["heatmaps"]]
+        hm_imgs, hm_names = imgs0, s0["filenames"]
+        if args.vis_heatmap_frame_name:
+            # only the requested frame, like the reference's named branch
+            t = s0["filenames"].index(args.vis_heatmap_frame_name)
+            hms = [h[:, t:t + 1] for h in hms]
+            hm_imgs, hm_names = imgs0[t:t + 1], [s0["filenames"][t]]
+        visualize_heatmaps(hms, hm_imgs,
+                           os.path.join(args.output_dir, "heatmaps"),
+                           filenames=hm_names)
         prob0 = np.asarray(
             jax.nn.softmax(out0["pred_logits"], -1))[0, :, :, 1].mean(-1)
         visualize_attention(

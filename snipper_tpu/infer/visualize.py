@@ -302,9 +302,15 @@ def save_as_gif(image_dir: str, out_path: str, fps: int = 5):
 
 
 def visualize_heatmaps(heatmaps: List[np.ndarray], images: np.ndarray,
-                       save_dir: str, level: int = 0, head: int = 0):
+                       save_dir: str, level: int = 0, head: int = 0,
+                       filenames: Optional[List[str]] = None):
     """Overlay encoder keypoint heatmaps on input frames (counterpart of
-    ``inference_utils.py:622-644``). heatmaps: [(B, T, h, w, nhead, K)]."""
+    ``inference_utils.py:622-644``). heatmaps: [(B, T, h, w, nhead, K)].
+
+    ``filenames``: per-frame source names; when given, each render is named
+    after its frame (``heatmap_{stem}.jpg``, the reference's
+    frame-name-keyed outputs, ``inference_utils.py:643-644``) instead of
+    the positional ``heatmap_t{t}.jpg``."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -321,7 +327,9 @@ def visualize_heatmaps(heatmaps: List[np.ndarray], images: np.ndarray,
         ax.imshow(hm[t].max(-1), alpha=0.5, cmap="jet",
                   extent=(0, images.shape[2], images.shape[1], 0))
         ax.axis("off")
-        fig.savefig(os.path.join(save_dir, f"heatmap_t{t}.jpg"),
+        name = (f"heatmap_{os.path.splitext(filenames[t])[0]}"
+                if filenames is not None else f"heatmap_t{t}")
+        fig.savefig(os.path.join(save_dir, f"{name}.jpg"),
                     bbox_inches="tight")
         plt.close(fig)
 

@@ -102,6 +102,39 @@ def test_video_input_matches_frames_dir(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_vis_heatmap_frame_name(tmp_path, monkeypatch):
+    """--vis_heatmap_frame_name renders the overlay for exactly the named
+    frame (reference inference.py:209-219) and fails loudly when the frame
+    is not part of any predicted snippet (reference inference.py:217)."""
+    from snipper_tpu.cli import infer as infer_cli
+
+    data_dir = _frames_dir(tmp_path, n=6)
+    out = str(tmp_path / "vis")
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--preset", "tiny", "--data_dir", data_dir,
+        "--seq_gap", "1", "--output_dir", out, "--save_visuals",
+        "--vis_heatmap_frame_name", "000003.jpg"])
+    infer_cli.main()
+    assert os.listdir(os.path.join(out, "heatmaps")) == [
+        "heatmap_000003.jpg"]
+
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--preset", "tiny", "--data_dir", data_dir,
+        "--seq_gap", "1", "--output_dir", str(tmp_path / "vis2"),
+        "--save_visuals", "--vis_heatmap_frame_name", "999999.jpg"])
+    with pytest.raises(ValueError, match="not used for prediction"):
+        infer_cli.main()
+
+    # the flag shapes the --save_visuals stage; alone it is a usage error
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--preset", "tiny", "--data_dir", data_dir,
+        "--output_dir", str(tmp_path / "vis3"),
+        "--vis_heatmap_frame_name", "000003.jpg"])
+    with pytest.raises(SystemExit):
+        infer_cli.main()
+
+
+@pytest.mark.slow
 def test_snippet_batch_matches_per_snippet(tmp_path, monkeypatch):
     from snipper_tpu.cli import infer as infer_cli
 

@@ -86,10 +86,18 @@ def main():
     crit = SetCriterion(cfg, dp_size=mesh.shape["data"])
     state, tx = create_train_state(cfg, params, steps_per_epoch)
     start_epoch = 0
-    if args.resume:
-        state = restore_checkpoint(args.resume, state)
+    resume = args.resume
+    if resume in ("auto", "latest"):
+        from snipper_tpu.train.checkpoint import latest_checkpoint
+
+        resume = latest_checkpoint(os.path.join(args.output_dir, "ckpts"))
+        if resume is None:
+            print("--resume auto: no checkpoint yet — starting fresh",
+                  flush=True)
+    if resume:
+        state = restore_checkpoint(resume, state)
         start_epoch = int(state.step) // steps_per_epoch
-        print(f"resumed from {args.resume} at epoch {start_epoch}", flush=True)
+        print(f"resumed from {resume} at epoch {start_epoch}", flush=True)
     step = make_train_step(model, crit, tx,
                            mixed_precision=args.mixed_precision)
     eval_step = make_eval_step(model, crit)

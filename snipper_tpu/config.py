@@ -109,6 +109,12 @@ class Config:
     lr_backbone: float = 1e-5
     lr_linear_proj_mult: float = 0.1
     batch_size: int = 2            # per device
+    # gradient accumulation: average grads over k microbatches, one optimizer
+    # update — reproduces the reference's k-GPU DDP recipe (per-rank sums
+    # averaged, reference util/misc.py:422-423 + main.py:184) on fewer chips,
+    # e.g. the canonical global batch 16 (= 2 x 8 GPUs, README.md:67) as
+    # batch_size=2 x grad_accum_steps=8 on one chip
+    grad_accum_steps: int = 1
     weight_decay: float = 1e-4
     epochs: int = 40
     lr_drop: int = 30
@@ -195,6 +201,9 @@ class Config:
             problems.append(f"nheads {self.nheads} must be divisible by "
                             f"tp_size {self.tp_size} (head-sharded "
                             f"sampling, parallel/mesh.py)")
+        if self.grad_accum_steps < 1:
+            problems.append(f"grad_accum_steps must be >= 1 "
+                            f"(got {self.grad_accum_steps})")
         if self.dp_size != -1 and self.dp_size < 1:
             problems.append(f"dp_size must be >= 1 or -1 = all remaining "
                             f"devices (got {self.dp_size})")

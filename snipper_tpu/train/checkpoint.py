@@ -50,6 +50,19 @@ def restore_checkpoint(path: str, target):
         return ckptr.restore(os.path.abspath(path), item=target)
 
 
+def latest_checkpoint(ckpt_dir: str):
+    """Newest ``checkpointNNNN`` under ``ckpt_dir``, or None.
+
+    Backs ``--resume auto``: one command line serves both the first start
+    and an auto-restart after preemption (the reference requires a manual
+    ``--resume .../checkpoint.pth``, reference ``main.py:242-248``)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    existing = sorted(d for d in os.listdir(ckpt_dir)
+                      if re.fullmatch(r"checkpoint\d{4}", d))
+    return os.path.join(ckpt_dir, existing[-1]) if existing else None
+
+
 # --------------------------------------------------------------------------
 # torch -> flax import
 # --------------------------------------------------------------------------

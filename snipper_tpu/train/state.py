@@ -72,6 +72,23 @@ def step_lr(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int,
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
+    """AdamW with the reference's 3 LR groups + global clip; optionally
+    wrapped in gradient accumulation.
+
+    ``cfg.grad_accum_steps > 1`` averages gradients over k microbatches and
+    applies ONE optimizer update (``optax.MultiSteps``) — numerically the
+    reference's k-rank DDP step (per-rank grads averaged, then clip+AdamW),
+    so ``batch_size=2, grad_accum_steps=8`` on one chip reproduces the
+    canonical 2x8-GPU recipe (reference README.md:67, main.py:184). The one
+    deviation mirrors DDP itself: each microbatch's loss normalizer
+    ``num_traj`` is microbatch-local, whereas the reference all-reduces it
+    across ranks (models/model.py:521-526); the heatmap loss's per-rank-sum
+    + grad-average semantics match exactly. ``steps_per_epoch`` counts
+    MICRObatches (loader steps); the LR schedule steps per optimizer
+    update."""
+    accum = max(cfg.grad_accum_steps, 1)
+    sched_steps = max(-(-steps_per_epoch // accum), 1)
+
     def adamw(lr_fn):
         return optax.adamw(lr_fn, b1=0.9, b2=0.999, eps=1e-8,
                            weight_decay=cfg.weight_decay)
@@ -79,20 +96,26 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
     group_tx = {
         "frozen": optax.set_to_zero(),
         "backbone": adamw(step_lr(cfg.lr_backbone, cfg.lr_drop,
-                                  steps_per_epoch)),
+                                  sched_steps)),
         "proj": adamw(step_lr(cfg.lr * cfg.lr_linear_proj_mult, cfg.lr_drop,
-                              steps_per_epoch)),
-        "main": adamw(step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)),
+                              sched_steps)),
+        "main": adamw(step_lr(cfg.lr, cfg.lr_drop, sched_steps)),
     }
 
     def labels(params):
         return jax.tree_util.tree_map_with_path(
             lambda path, _: param_label(path), params)
 
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_max_norm),
         optax.multi_transform(group_tx, labels),
     )
+    if accum > 1:
+        # the clip sees the AVERAGED accumulated gradient on the k-th
+        # microstep, exactly as torch's clip_grad_norm_ sees the
+        # DDP-averaged gradient (reference engine.py:74-76)
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def create_train_state(cfg: Config, params,

@@ -42,6 +42,11 @@ def make_train_step(
     ``batch``: dict with ``images [B, T, H, W, 3]``, optional
     ``mask [B, T, H, W]``, and padded ``targets`` (kpts2d/depth/valid).
 
+    With a gradient-accumulation optimizer (``cfg.grad_accum_steps > 1``,
+    ``train/state.py::make_optimizer``), each call is one MICRObatch:
+    params change only every k-th call, and the reported ``grad_norm`` /
+    losses are the microbatch's own (pre-accumulation).
+
     ``mixed_precision``: run the network in bfloat16 (params cast inside the
     loss; f32 master weights, f32 losses/optimizer — the criterion computes
     in f32 regardless of activation dtype). ~1.8x faster than f32 on v5e at

@@ -73,11 +73,14 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     assert os.path.exists(eout)
 
     # resume TRAINING from the epoch-0 checkpoint: optimizer state + step
-    # restore and the loop continues at epoch 1 (reference main.py:242-248)
+    # restore and the loop continues at epoch 1 (reference main.py:242-248).
+    # "--resume auto" resolves to the newest checkpoint under
+    # {output_dir}/ckpts (the preemption auto-restart convenience,
+    # checkpoint.py::latest_checkpoint) — here checkpoint0000
     _run_main(train_cli, [
         "train", "--preset", "tiny", "--synthetic", "--epochs", "2",
         "--steps_per_epoch", "4", "--no-mixed_precision",
-        "--resume", ck, "--output_dir", out], monkeypatch)
+        "--resume", "auto", "--output_dir", out], monkeypatch)
     epochs_logged = [json.loads(ln)["epoch"] for ln in open(log)]
     assert 1 in epochs_logged, epochs_logged
     assert any(c.startswith("checkpoint0001")

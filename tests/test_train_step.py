@@ -233,6 +233,73 @@ def test_tp2_matches_tp1_and_unsharded():
         assert abs(g - ref_g) / max(abs(ref_g), 1e-6) < 1e-3, results
 
 
+def test_grad_accum_matches_big_batch():
+    """grad_accum_steps=k over k microbatches reproduces the reference's
+    k-rank DDP step (per-rank grads averaged, ONE clip+AdamW update,
+    reference main.py:184 + engine.py:74-76): with equal per-microbatch
+    num_traj and the sum-scaled heatmap term off, the accumulated update
+    must equal the big-batch update exactly, and non-final microsteps must
+    leave params untouched."""
+    base = Config.tiny().replace(dropout=0.0, heatmap_loss_coef=0.0)
+    model, params = init_model(base, jax.random.PRNGKey(0))
+    crit = SetCriterion(base)
+
+    # every sample carries exactly ONE valid person so both microbatches
+    # share the same num_traj normalizer (the microbatch-local-num_traj
+    # deviation documented in make_optimizer vanishes)
+    rng_np = np.random.default_rng(7)
+    T1, K, M = base.total_frames, base.num_kpts, base.max_persons
+    B = 4
+    imgs = rng_np.uniform(0, 1, (B, base.num_frames, base.input_height,
+                                 base.input_width, 3)).astype(np.float32)
+    kpts = np.zeros((B, M, T1, K, 3), np.float32)
+    depth = np.zeros((B, M, T1, K, 2), np.float32)
+    valid = np.zeros((B, M), bool)
+    kpts[:, 0, ..., 0:2] = rng_np.uniform(0.2, 0.8, (B, T1, K, 2))
+    kpts[:, 0, ..., 2] = 1.0
+    depth[:, 0, ..., 0] = rng_np.uniform(0.1, 0.9, (B, T1, K))
+    depth[:, 0, ..., 1] = 1.0
+    valid[:, 0] = True
+
+    def sub(lo, hi):
+        return {"images": jnp.asarray(imgs[lo:hi]),
+                "targets": {"kpts2d": jnp.asarray(kpts[lo:hi]),
+                            "depth": jnp.asarray(depth[lo:hi]),
+                            "valid": jnp.asarray(valid[lo:hi])}}
+
+    rng = jax.random.PRNGKey(3)
+
+    # one big-batch step (accum 1, B=4)
+    state_big, tx_big = create_train_state(base, params, steps_per_epoch=10)
+    step_big = make_train_step(model, crit, tx_big, donate=False,
+                               mixed_precision=False)
+    state_big, _ = step_big(state_big, sub(0, B), rng)
+
+    # two microsteps (accum 2, B=2 each)
+    cfg_acc = base.replace(grad_accum_steps=2)
+    state_acc, tx_acc = create_train_state(cfg_acc, params,
+                                           steps_per_epoch=10)
+    step_acc = make_train_step(model, crit, tx_acc, donate=False,
+                               mixed_precision=False)
+    state_mid, _ = step_acc(state_acc, sub(0, 2), rng)
+    mid_unchanged = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        params, state_mid.params))
+    assert mid_unchanged, "non-final microstep must not update params"
+    state_acc, _ = step_acc(state_mid, sub(2, 4), rng)
+
+    # atol = 5% of the 1e-4 AdamW update scale: for near-zero gradients,
+    # Adam's g/sqrt(v) amplifies f32 reduction-order roundoff (batch-4 sum
+    # vs mean of two batch-2 sums) up to sign flips of a tiny update; real
+    # wiring errors (double-apply, per-microstep apply, wrong averaging)
+    # shift MANY elements by the full 1e-4 scale
+    flat_big = jax.tree_util.tree_leaves(state_big.params)
+    flat_acc = jax.tree_util.tree_leaves(state_acc.params)
+    for a, b in zip(flat_acc, flat_big):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=5e-6)
+
+
 def test_frozen_grads_excluded_from_clip():
     """The reference's frozen params (stem/layer1, FrozenBN) are
     requires_grad=False, so torch's clip_grad_norm_ never sees them; here

@@ -76,7 +76,12 @@ def add_data_args(parser: argparse.ArgumentParser):
     parser.add_argument("--synthetic", action="store_true",
                         help="use the synthetic dataset (smoke/benchmark)")
     parser.add_argument("--output_dir", type=str, default="./output")
-    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint path to resume from, or the "
+                             "sentinel 'auto'/'latest' = newest checkpoint "
+                             "under {output_dir}/ckpts (starts fresh when "
+                             "none exists — one command line serves first "
+                             "start and preemption restart)")
     parser.add_argument("--pretrained_torch", type=str, default=None,
                         help="path to a reference .pth checkpoint to import")
     parser.add_argument("--pretrained_backbone", type=str, default=None,

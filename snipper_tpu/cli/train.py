@@ -65,6 +65,14 @@ def main():
     val_loader = DataLoader(val_ds, local_batch, shuffle=False,
                             num_workers=args.num_workers)
     steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
+    if steps_per_epoch % cfg.grad_accum_steps:
+        # accumulation windows would span epoch boundaries, and a final
+        # partial window is accumulated but never applied (dropped silently
+        # on a non-resumed exit) — see train/state.py::make_optimizer
+        print(f"WARNING: steps_per_epoch {steps_per_epoch} is not a "
+              f"multiple of grad_accum_steps {cfg.grad_accum_steps}: "
+              "accumulation windows span epoch boundaries and a trailing "
+              "partial window's gradients are dropped at exit", flush=True)
 
     model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
     if args.pretrained_torch:

@@ -38,13 +38,19 @@ def make_sample(cfg: Config, rng: np.random.Generator,
     valid = np.zeros((M,), bool)
     track = np.zeros((M, T1), np.int32)
 
+    sizes = np.zeros((M,), np.float32)
     for i in range(n):
         valid[i] = True
         track[i, :] = 1
         center = rng.uniform([0.25, 0.3], [0.75, 0.7])
         vel = rng.uniform(-0.02, 0.02, 2)
-        offs = _skeleton_offsets(rng)
-        z = rng.uniform(2.0, 10.0)
+        z = rng.uniform(2.5, 7.5)
+        # perspective: apparent skeleton size scales with 1/depth, so depth
+        # is INFERABLE from the rendered image (a learnable 3D signal — the
+        # train-to-accuracy tests rely on it; a fixed-size render would make
+        # the depth head's target pure noise)
+        sizes[i] = 4.0 / z
+        offs = _skeleton_offsets(rng) * sizes[i]
         for t in range(T1):
             c = center + vel * t
             kpts[i, t, :, 0:2] = c + offs
@@ -57,12 +63,14 @@ def make_sample(cfg: Config, rng: np.random.Generator,
     yy, xx = np.mgrid[0:H, 0:W]
     for i in range(n):
         color = rng.uniform(0.4, 1.0, 3)
+        # blob radius scales with apparent person size (see sizes above)
+        blob = 40.0 * sizes[i] ** 2
         for t in range(T):
             for k in range(NUM_JOINTS):
                 cx = kpts[i, t, k, 0] * W
                 cy = kpts[i, t, k, 1] * H
                 r2 = (xx - cx) ** 2 + (yy - cy) ** 2
-                imgs[t] += color * np.exp(-r2 / 40.0)[..., None]
+                imgs[t] += color * np.exp(-r2 / blob)[..., None]
     imgs = np.clip(imgs, 0, 1)
 
     fx = fy = 0.5 * (W + H)

@@ -173,6 +173,141 @@ def test_full_eval_flow_on_reference_format_files(tmp_path, monkeypatch):
     assert any(v.endswith(".jpg") for v in vis)
 
 
+def _jta_raw(raw, out, seq="seq_500", n_frames=24, subset="test",
+             w=160, h=120):
+    """Reference-format raw JTA sequence: the per-sequence annotation matrix
+    ``[frame(1-based), person, joint, x2d, y2d, x3d, y3d, z3d, occluded,
+    self_occluded]`` (reference ``datasets/data_preprocess/jta.py:146-205``)
+    in ``raw``, half-res frames under the processed dir ``out`` (where the
+    reference's frame extraction writes them), and the moving-camera list."""
+    rng = np.random.default_rng(6)
+    rows = []
+    # two persons on constant-velocity tracks within the half-res frame
+    # (coherent forecast GT)
+    starts = {1: np.array([50.0, 40.0]), 2: np.array([110.0, 80.0])}
+    vels = {1: np.array([1.5, 0.4]), 2: np.array([-1.2, 0.8])}
+    zs = {1: 4.0, 2: 7.0}
+    for f in range(1, n_frames + 1):
+        for pid, start in starts.items():
+            c = start + vels[pid] * (f - 1)
+            for j in range(22):
+                jitter = rng.uniform(-8, 8, 2)
+                x2, y2 = c + jitter
+                z = zs[pid] + 0.01 * j
+                rows.append([f, pid, j, 2 * x2, 2 * y2,     # full-res px
+                             0.001 * x2, 0.001 * y2, z, 0, 0])
+    ann_dir = raw / "annotations" / subset
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(ann_dir / f"{seq}.json", "w") as f:
+        json.dump(rows, f)
+    with open(raw / "moving_camera_seq.txt", "w") as f:
+        f.write("7\n12\n")  # excluded sequences; seq_500 is not one
+    for i in range(n_frames):
+        _img(str(out / "images_half" / subset / seq / f"{i:03d}.jpg"),
+             w=w, h=h)
+
+
+def test_jta_forecast_eval_rehearsal(tmp_path, monkeypatch):
+    """VERDICT r3 #2 (JTA leg): raw JTA annotation matrices (with future
+    frames) on disk -> split_annotations -> prepare_listing (moving-camera
+    exclusion) -> HybridDataset test loader -> cli.eval -> the forecasting
+    metrics ``future_mpjpe_* / future_3dpck`` asserted from eval_stats.json
+    (reference ``README.md:129-187`` JTA forecasting flow,
+    ``engine.py:180-212`` future-frame metric split)."""
+    from snipper_tpu.data.preprocess import jta as jta_pp
+
+    raw = tmp_path / "jta_raw"
+    out = tmp_path / "jta"
+    os.makedirs(raw)
+    n_frames = 24
+    _jta_raw(raw, out, n_frames=n_frames)
+    jta_pp.split_annotations(str(raw), str(out), n_frames=n_frames)
+    assert os.path.exists(out / "ann_split" / "test" / "seq_500" /
+                          "000.json")
+    jta_pp.prepare_listing(
+        str(out), str(out),
+        moving_camera_list=str(raw / "moving_camera_seq.txt"))
+    listing = json.load(open(out / "jta_all_ann_files_no_moving_camera.json"))
+    assert "seq_500" in listing["test"]
+
+    outdir = str(tmp_path / "out")
+    from snipper_tpu.cli import eval as eval_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval", "--preset", "tiny", "--jta_dir", str(out),
+        "--output_dir", outdir])
+    eval_cli.main()
+
+    stats = json.load(open(os.path.join(outdir, "eval_stats.json")))
+    # current-frame 3D metrics AND the forecasting (future-frame) split
+    for key in ("mpjpe_root", "mpjpe_joint", "pel_mpjpe_joint", "3dpck",
+                "future_mpjpe_root", "future_mpjpe_joint",
+                "future_pel_mpjpe_joint", "future_3dpck"):
+        assert key in stats and np.isfinite(stats[key]), (key, stats)
+
+
+def _panoptic_raw(root, seq="170221_haggling_b1", n_frames=24,
+                  img_w=96, img_h=64):
+    """Reference-format CMU-Panoptic protocol-1 sequence: calibration JSON,
+    ``hdPose3d_stage1_coco19`` skeletons (joints19, studio cm), and
+    half-res frames at the model input resolution."""
+    rng = np.random.default_rng(7)
+    os.makedirs(root / seq / "hdPose3d_stage1_coco19", exist_ok=True)
+    calib = {"cameras": [
+        {"panel": 0, "node": n,
+         "K": [[2 * 0.9 * img_w, 0, img_w], [0, 2 * 0.9 * img_w, img_h],
+               [0, 0, 1]],
+         "distCoef": [0.01, 0.0, 0.0, 0.0, 0.0],
+         "R": np.eye(3).tolist(),
+         "t": [[0.0], [0.0], [300.0]]} for n in (3, 12, 23)]}
+    with open(root / seq / f"calibration_{seq}.json", "w") as f:
+        json.dump(calib, f)
+    for i in range(n_frames):
+        bodies = []
+        for pid in (0, 1):
+            skel = np.concatenate(
+                [rng.uniform(-40, 40, (19, 2)),
+                 rng.uniform(-30, 30, (19, 1)),      # z in studio cm
+                 np.ones((19, 1))], 1)
+            skel[:, 0] += 80 * pid - 40
+            bodies.append({"id": pid, "joints19": skel.reshape(-1).tolist()})
+        with open(root / seq / "hdPose3d_stage1_coco19" /
+                  f"body3DScene_{i:08d}.json", "w") as f:
+            json.dump({"bodies": bodies}, f)
+    for cam in (3, 12, 23):
+        for i in range(n_frames):
+            _img(str(root / seq / "hdImgs" / f"hd_00_{cam:02d}" /
+                     f"{i:08d}.jpg"), w=img_w, h=img_h)
+
+
+def test_panoptic_protocol1_eval_rehearsal(tmp_path, monkeypatch):
+    """VERDICT r3 #2 (Panoptic leg): raw protocol-1 calibration + studio
+    skeletons + frames on disk -> cmu_panoptic.prepare -> HybridDataset val
+    loader (haggling_b test split, cams 3/12/23) -> cli.eval -> the 3D
+    metric set asserted from eval_stats.json (reference ``README.md:192-250``
+    Panoptic flow, ``eval.py:198-271``)."""
+    from snipper_tpu.data.preprocess import cmu_panoptic as pan_pp
+
+    root = tmp_path / "pan"
+    os.makedirs(root)
+    _panoptic_raw(root)
+    pan_pp.prepare(str(root), protocol=1)
+    assert os.path.exists(root / "panoptic_all_ann_files_protocol1.pkl")
+
+    outdir = str(tmp_path / "out")
+    from snipper_tpu.cli import eval as eval_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval", "--preset", "tiny", "--panoptic_dir", str(root),
+        "--panoptic_protocol", "1", "--output_dir", outdir])
+    eval_cli.main()
+
+    stats = json.load(open(os.path.join(outdir, "eval_stats.json")))
+    for key in ("mpjpe_root", "mpjpe_joint", "pel_mpjpe_joint", "3dpck",
+                "future_mpjpe_root", "future_mpjpe_joint", "future_3dpck"):
+        assert key in stats and np.isfinite(stats[key]), (key, stats)
+
+
 def test_posetrack_harness_numbers_on_rehearsal_files(tmp_path):
     """Drive the harness alone with predictions == GT written through the
     REAL writer schema: AP/PCKh/MOTA must be exactly 100 (validates the

@@ -75,6 +75,17 @@ def add_data_args(parser: argparse.ArgumentParser):
     parser.add_argument("--panoptic_protocol", type=int, default=1)
     parser.add_argument("--synthetic", action="store_true",
                         help="use the synthetic dataset (smoke/benchmark)")
+    parser.add_argument("--synthetic_samples", type=int, default=None,
+                        help="synthetic dataset size (default 64 train / "
+                             "8 val)")
+    parser.add_argument("--synthetic_distinct", type=int, default=None,
+                        help="limit the synthetic set to N unique samples "
+                             "(indices cycle) — overfit-training shape")
+    parser.add_argument("--overfit", action="store_true",
+                        help="validation set = the TRAINING set (same "
+                             "synthetic seed): the standard overfit sanity "
+                             "check that the train->eval path can recover "
+                             "ground truth")
     parser.add_argument("--output_dir", type=str, default="./output")
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint path to resume from, or the "
@@ -122,8 +133,13 @@ def build_dataset(cfg: Config, args, mode: str):
                                   args.panoptic_dir)):
         from snipper_tpu.data.synthetic import SyntheticDataset
 
-        return SyntheticDataset(cfg, n_samples=64 if mode == "train" else 8,
-                                seed=0 if mode == "train" else 1)
+        n = getattr(args, "synthetic_samples", None) or (
+            64 if mode == "train" else 8)
+        overfit = getattr(args, "overfit", False)
+        return SyntheticDataset(
+            cfg, n_samples=n,
+            seed=0 if (mode == "train" or overfit) else 1,
+            distinct=getattr(args, "synthetic_distinct", None))
     from snipper_tpu.data.datasets import HybridDataset
 
     return HybridDataset(

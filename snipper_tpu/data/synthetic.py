@@ -95,17 +95,27 @@ def make_sample(cfg: Config, rng: np.random.Generator,
 
 
 class SyntheticDataset:
-    """Map-style synthetic dataset (deterministic per index)."""
+    """Map-style synthetic dataset (deterministic per index).
 
-    def __init__(self, cfg: Config, n_samples: int = 64, seed: int = 0):
+    ``distinct``: when set, only this many unique samples exist and indices
+    cycle through them (``idx % distinct``) — an epoch of ``n_samples``
+    then performs ``n_samples / distinct`` optimizer steps over a small
+    fixed set, the overfit-training shape the train-to-accuracy tests use.
+    """
+
+    def __init__(self, cfg: Config, n_samples: int = 64, seed: int = 0,
+                 distinct: int | None = None):
         self.cfg = cfg
         self.n = n_samples
         self.seed = seed
+        self.distinct = distinct
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, idx: int) -> Dict:
+        if self.distinct:
+            idx = idx % self.distinct
         rng = np.random.default_rng(self.seed * 100_003 + idx)
         return make_sample(self.cfg, rng)
 

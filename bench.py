@@ -103,6 +103,23 @@ def main():
     # ---- inference: windowed sampling with exactness check ---------------
     cfg = Config.canonical_t4().replace(deform_impl="windowed")
     model, params = init_model(cfg, jax.random.PRNGKey(0))
+
+    # SNIPPER_BENCH_PARAMS=<orbax ckpt dir>: benchmark with TRAINED weights
+    # instead of PRNGKey(0) init — learned offsets set the margin the
+    # exactness cascade actually needs (VERDICT r3 weak #4). The loaded
+    # params must match the canonical_t4 shapes.
+    weights = "init(PRNGKey 0)"
+    ckpt_path = os.environ.get("SNIPPER_BENCH_PARAMS")
+    if ckpt_path:
+        from snipper_tpu.train.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(ckpt_path, None)
+        loaded = restored.get("params", restored)
+        params = jax.tree.map(
+            lambda a, b: np.asarray(b, dtype=np.asarray(a).dtype), params,
+            loaded)  # same tree/shapes required: canonical_t4-compatible
+        weights = f"trained({ckpt_path})"
+
     params_bf16 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
@@ -134,15 +151,19 @@ def main():
     np.asarray(out["pred_logits"][..., :1].astype(jnp.float32))
 
     # two timed passes of K=15, keep the best (the tunnel occasionally
-    # injects multi-hundred-ms scheduling stalls into a single pass)
+    # injects multi-hundred-ms scheduling stalls into a single pass); the
+    # per-pass values are emitted too so the ±10-60% session variance
+    # documented in NOTES_r3 is visible in the record itself
     K = 15
     sps = 0.0
+    passes = []
     for attempt in range(2):
         try:
             t0 = time.perf_counter()
             outs = [fwd(x)["pred_logits"] for _ in range(K)]
             np.asarray(outs[-1][..., :1].astype(jnp.float32))
-            sps = max(sps, K / (time.perf_counter() - t0))
+            passes.append(round(K / (time.perf_counter() - t0), 3))
+            sps = max(sps, passes[-1])
         except Exception as e:  # noqa: BLE001
             # transient tunnel error: keep a valid earlier pass; rethrow
             # only if NO pass succeeded (the metric would be meaningless).
@@ -156,6 +177,7 @@ def main():
 
     # ---- train step: canonical T=4+2 f32, batch 2 -------------------------
     train_ms = None
+    train_passes = []
     try:
         from snipper_tpu.config import Config as C
         from snipper_tpu.data.loader import DataLoader
@@ -184,6 +206,7 @@ def main():
                     state, m = step(state, batch, rng_t)
                 float(m["loss_total"])
                 ms = (time.perf_counter() - t0) / Kt * 1e3
+                train_passes.append(round(ms, 1))
                 train_ms = (min(train_ms, ms)
                             if isinstance(train_ms, float) else ms)
             except Exception as e:  # noqa: BLE001
@@ -195,6 +218,49 @@ def main():
         if not isinstance(train_ms, float):
             train_ms = f"FAIL {type(e).__name__}"
 
+    # ---- per-config headline: light_t1 @ snippet_batch 4 ------------------
+    # the repo's best throughput config (BASELINE.md "Per-config inference
+    # throughput"); SNIPPER_BENCH_CONFIGS=all sweeps the full preset matrix
+    configs = {}
+    sweep = os.environ.get("SNIPPER_BENCH_CONFIGS", "light_t1")
+    preset_batches = {"light_t1": 4, "light_t4": 1, "light_t4_f2": 1,
+                      "canonical_t1": 1, "canonical_t4_f2": 1}
+    if sweep == "all":
+        todo = list(preset_batches)
+    elif sweep in preset_batches:
+        todo = [sweep]
+    else:
+        todo = []
+    for preset in todo:
+        try:
+            b = preset_batches[preset]
+            pcfg = getattr(Config, preset)().replace(deform_impl="windowed")
+            pmodel, pparams = init_model(pcfg, jax.random.PRNGKey(0))
+            pparams = jax.tree.map(
+                lambda a: (a.astype(jnp.bfloat16)
+                           if a.dtype == jnp.float32 else a), pparams)
+            px = jnp.asarray(rng.uniform(
+                0, 1, (b, pcfg.num_frames, pcfg.input_height,
+                       pcfg.input_width, 3)), jnp.bfloat16)
+            pfwd = jax.jit(lambda xx: pmodel.apply(
+                {"params": pparams}, xx)["pred_logits"])
+            np.asarray(pfwd(px)[..., :1].astype(jnp.float32))
+            Kp = 12
+            best = 0.0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pouts = [pfwd(px) for _ in range(Kp)]
+                np.asarray(pouts[-1][..., :1].astype(jnp.float32))
+                best = max(best, Kp * b / (time.perf_counter() - t0))
+            configs[f"{preset}_b{b}"] = round(best, 1)
+        except Exception as e:  # noqa: BLE001
+            configs[f"{preset}"] = f"FAIL {type(e).__name__}"
+
+    # analytic hardware context (BASELINE.md "Analytic cost": XLA
+    # cost_analysis of the canonical T=4 forward, exact sampling — 1.27
+    # TFLOP / 50.7 GB accessed -> 62 ms/snippet HBM floor at 819 GB/s), so
+    # the headline number is self-interpreting against the chip's limits
+    ms_per_snippet = 1e3 / sps if sps else None
     rec = {
         "metric": "inference_snippets_per_sec_per_chip_T4_600x800",
         "value": round(sps, 3),
@@ -202,13 +268,22 @@ def main():
         "vs_baseline": round(sps / A100_BASELINE_SNIPPETS_PER_SEC, 3),
         "batch_size": 1,
         "dtype": "bfloat16",
+        "weights": weights,
         "sampling_impl": impl,
         "sampling_overflow": overflow,
+        "passes_snippets_per_sec": passes,
+        "analytic_tflop": 1.27,
+        "analytic_hbm_gb": 50.7,
+        "x_hbm_floor": (round(ms_per_snippet / 62.0, 2)
+                        if ms_per_snippet else None),
         "train_step_ms_T4F2_bf16mp_b2": (round(train_ms, 1)
                                       if isinstance(train_ms, float)
                                       else train_ms),
+        "train_step_passes_ms": train_passes,
+        "configs_snippets_per_sec": configs,
         "note": "baseline is an estimated A100 PyTorch eager throughput "
-                "(reference publishes no numbers); see BASELINE.md",
+                "(reference publishes no numbers; CPU-ratio bracket "
+                "5-14/s); see BASELINE.md",
     }
     print(json.dumps(rec))
 

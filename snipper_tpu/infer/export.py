@@ -77,7 +77,7 @@ def load_exported(path: str, jit_call: bool = True):
     ``jit_call=True`` (default) wraps the call in ``jax.jit`` — the serving
     deployment shape. Calling ``Exported.call`` eagerly re-dispatches the
     module through the interpreter on every request; measured on v5e
-    (scripts/serve_probe.py) the eager path is ~6x slower than the jitted
+    (scripts/probe.py serve) the eager path is ~6x slower than the jitted
     one, which runs at live-``jax.jit`` speed."""
     import jax
 

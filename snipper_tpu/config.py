@@ -184,7 +184,7 @@ class Config:
                             f"(got {self.seq_min_gap}, {self.seq_max_gap})")
         if self.deform_impl not in ("xla", "pmerged", "windowed",
                                     "windowed2d", "windowed_hybrid",
-                                    "pallas", "skip"):
+                                    "windowed_vjp", "pallas", "skip"):
             problems.append(f"unknown deform_impl {self.deform_impl!r}")
         if self.deform_dtype not in ("auto", "float32"):
             problems.append(f"unknown deform_dtype {self.deform_dtype!r}")

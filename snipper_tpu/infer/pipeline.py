@@ -373,7 +373,8 @@ class ExactnessGuard:
     def __call__(self, imgs):
         out = self._fwd(imgs)
         while self.cfg.deform_impl in ("windowed", "windowed2d",
-                                       "windowed_hybrid") and \
+                                       "windowed_hybrid",
+                                       "windowed_vjp") and \
                 float(np.asarray(out["sampling_overflow"])) > 0:
             self.overflow_events += 1
             if self.cfg.sampling_margin < 8:

@@ -219,6 +219,44 @@ def ms_deform_attn_core(
     return out.astype(compute_dtype)
 
 
+def _corner_taps_1d(loc: jax.Array, attn: jax.Array, h: int, w: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Exact grid_sample corner decomposition for ONE level, head-major.
+
+    ``loc [B, C, H, P, 2]`` normalized, ``attn [B, C, H, P]`` ->
+    ``(ids int32 [B, H, C, P*4], wgt f32 [B, H, C, P*4])`` where tap
+    ``p*4 + corner`` carries the bilinear corner weight x validity x attn
+    (OOB corners get weight exactly 0; their ids are clipped in-range).
+
+    Shared by the windowed forward (:func:`ms_deform_attn_pmerged`) and
+    the windowed_vjp backward — the backward re-derives each chunk's
+    window start from these, so the two MUST stay bitwise-identical
+    (same ops, same order; all int32/f32 so the match is exact).
+    """
+    x = loc[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc[..., 1].astype(jnp.float32) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    attn_f = attn.astype(jnp.float32)
+    ids_c, wgt_c = [], []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cw = ((1.0 - jnp.abs(fx - dx))
+                  * (1.0 - jnp.abs(fy - dy)))
+            valid = ((x0 + dx >= 0) & (x0 + dx < w)
+                     & (y0 + dy >= 0) & (y0 + dy < h))
+            xi = jnp.clip(x0 + dx, 0, w - 1)
+            yi = jnp.clip(y0 + dy, 0, h - 1)
+            ids_c.append((yi * w + xi).astype(jnp.int32))
+            wgt_c.append(cw * valid.astype(cw.dtype) * attn_f)
+    B, C, nH, P = attn.shape
+    ids = jnp.stack(ids_c, -1).transpose(0, 2, 1, 3, 4)
+    wgt = jnp.stack(wgt_c, -1).transpose(0, 2, 1, 3, 4)
+    return (ids.reshape(B, nH, C, P * 4), wgt.reshape(B, nH, C, P * 4))
+
+
 def ms_deform_attn_pmerged(
     value: jax.Array,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -266,29 +304,9 @@ def ms_deform_attn_pmerged(
         for lvl, (h, w) in enumerate(spatial_shapes):
             Sl = h * w
             Ws = win[lvl] if (win[lvl] and win[lvl] < Sl) else 0
-            loc = loc_c[:, :, :, lvl]                  # [B, C, H, P, 2]
-            attn = attn_c[:, :, :, lvl].astype(jnp.float32)
-            x = loc[..., 0].astype(jnp.float32) * w - 0.5
-            y = loc[..., 1].astype(jnp.float32) * h - 0.5
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            fx = x - x0
-            fy = y - y0
-            ids_c, wgt_c = [], []
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    cw = ((1.0 - jnp.abs(fx - dx))
-                          * (1.0 - jnp.abs(fy - dy)))
-                    valid = ((x0 + dx >= 0) & (x0 + dx < w)
-                             & (y0 + dy >= 0) & (y0 + dy < h))
-                    xi = jnp.clip(x0 + dx, 0, w - 1)
-                    yi = jnp.clip(y0 + dy, 0, h - 1)
-                    ids_c.append((yi * w + xi).astype(jnp.int32))
-                    wgt_c.append(cw * valid.astype(cw.dtype) * attn)
-            ids = jnp.stack(ids_c, -1).transpose(0, 2, 1, 3, 4)
-            wgt = jnp.stack(wgt_c, -1).transpose(0, 2, 1, 3, 4)
-            ids = ids.reshape(B, nH, C, P * 4)         # [B, H, C, 16]
-            wgt = wgt.reshape(B, nH, C, P * 4)
+            ids, wgt = _corner_taps_1d(loc_c[:, :, :, lvl],
+                                       attn_c[:, :, :, lvl], h, w)
+            # ids/wgt: [B, H, C, 16]
 
             if Ws:
                 # chunk-local window: min touched pixel, 128-aligned
@@ -508,6 +526,217 @@ def ms_deform_attn_windowed_hybrid(
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     return _windowed_fwd_core_bwd(shapes, tuple(int(s) for s in
                                                 query_segments), margin_px)(
+        value, sampling_locations, attention_weights)
+
+
+def _windowed_backward(value: jax.Array,
+                       spatial_shapes: Sequence[Tuple[int, int]],
+                       sampling_locations: jax.Array,
+                       attention_weights: jax.Array,
+                       query_segments: Sequence[int],
+                       margin_px: int,
+                       g_out: jax.Array,
+                       remat_chunk: bool = True):
+    """Hand-structured backward of :func:`ms_deform_attn_windowed`.
+
+    The one train-side avenue round 3 left unmeasured: the shipped train
+    backward (``core_backward``) replays the FULL-WIDTH core select build
+    (~3.4x the windowed select work, BASELINE.md round-4), because naively
+    differentiating *through* the windowed chunk scan is 7-9x slower — the
+    VJP of each chunk's ``dynamic_slice`` scatters into a full-size
+    ``[B, H, S, D]`` zeros buffer that the scan transpose then accumulates,
+    turning an 18 MB window update into a ~180 MB read-modify-write per
+    chunk. This backward keeps the windowed math but hand-manages that one
+    pathological term: per chunk it re-derives the window start exactly as
+    the forward did (shared :func:`_corner_taps_1d`, integer ops — bitwise
+    match), takes ``jax.vjp`` of the chunk body *over the pre-sliced
+    windows* (so autodiff never sees the slice), and accumulates the value
+    cotangent into a loop-carried f32 buffer with an in-place
+    read-add-write of just the window region. Gradients are exact whenever
+    the forward's ``overflow == 0`` — the same contract the train engine
+    already enforces per step (reference counterpart: the hand-written
+    col2im backward, ``models/ops/src/cuda/ms_deform_attn_cuda.cu:83-153``,
+    which likewise scatters only touched taps).
+
+    Returns ``(d_value, d_loc, d_attn)`` in the primals' dtypes.
+    """
+    B, S, nH, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    _, qcs, wins = windowed_sampling_plan(spatial_shapes, margin_px=margin_px)
+    compute_dtype = value.dtype
+    v_hm = value.transpose(0, 2, 1, 3)              # [B, H, S, D]
+    starts = np.cumsum([0] + [h * w for h, w in spatial_shapes])[:-1]
+
+    carry0 = jnp.zeros(v_hm.shape, jnp.float32)
+
+    def make_chunk_step(win):
+        def chunk_step(carry, inp):
+            lc, ac, gc = inp    # [B,qc,H,L,P,2], [B,qc,H,L,P], [B,qc,H*D]
+            los, bufs = [], []
+            for lvl, (h, w) in enumerate(spatial_shapes):
+                Sl = h * w
+                Ws = win[lvl] if (win[lvl] and win[lvl] < Sl) else 0
+                if Ws:
+                    # window start: EXACTLY the forward's computation
+                    # (ms_deform_attn_pmerged) — int32 min over live taps,
+                    # 8-aligned, clipped; deterministic, so it matches the
+                    # forward bitwise on the same inputs.
+                    ids, wgt = _corner_taps_1d(lc[:, :, :, lvl],
+                                               ac[:, :, :, lvl], h, w)
+                    live = wgt > 0
+                    lo = jnp.min(jnp.where(live, ids, Sl), axis=(0, 1, 2, 3))
+                    lo = jnp.clip((lo // 8) * 8, 0, max(Sl - Ws, 0))
+                    buf = jax.lax.dynamic_slice_in_dim(
+                        jax.lax.slice_in_dim(v_hm, starts[lvl],
+                                             starts[lvl] + Sl, axis=2),
+                        lo, Ws, axis=2)
+                else:
+                    lo = None
+                    buf = jax.lax.slice_in_dim(v_hm, starts[lvl],
+                                               starts[lvl] + Sl, axis=2)
+                los.append(lo)
+                bufs.append(buf)
+
+            def fchunk(bufs_, lc_, ac_):
+                """The windowed chunk forward at FIXED window starts —
+                identical math to the forward's sample_chunk, with the
+                value windows as explicit args so ``jax.vjp`` returns
+                window-sized value cotangents."""
+                C = lc_.shape[1]
+                out = jnp.zeros((B, nH, C, D), jnp.float32)
+                for lvl, (h, w) in enumerate(spatial_shapes):
+                    Sl = h * w
+                    ids, wgt = _corner_taps_1d(lc_[:, :, :, lvl],
+                                               ac_[:, :, :, lvl], h, w)
+                    buf = bufs_[lvl]
+                    width = buf.shape[2]
+                    if width < Sl:
+                        local = ids - los[lvl]
+                        inside = (local >= 0) & (local < width)
+                        ids_use = jnp.where(inside, local, width)
+                        wgt = jnp.where(inside, wgt, 0.0)
+                    else:
+                        ids_use = ids
+                    iota = jnp.arange(width, dtype=jnp.int32)
+                    W = jnp.zeros((B, nH, C, width), jnp.float32)
+                    for k in range(P * 4):
+                        W = W + jnp.where(
+                            ids_use[..., k, None]
+                            == iota[None, None, None, :],
+                            wgt[..., k, None], 0.0)
+                    prec = (None if buf.dtype == jnp.bfloat16
+                            else jax.lax.Precision.HIGH)
+                    out = out + jax.lax.dot_general(
+                        W.astype(buf.dtype), buf,
+                        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                return (out.transpose(0, 2, 1, 3)
+                        .reshape(B, lc_.shape[1], nH * D)
+                        .astype(compute_dtype))
+
+            # remat: recompute the one-hot W at its backward use site so it
+            # fuses into the dots (as in the forward) instead of being
+            # saved as a [B, H, C, width] f32 residual per level
+            fc = jax.checkpoint(fchunk) if remat_chunk else fchunk
+            _, vjp_fn = jax.vjp(fc, bufs, lc, ac)
+            d_bufs, d_lc, d_ac = vjp_fn(gc)
+
+            for lvl, (h, w) in enumerate(spatial_shapes):
+                db = d_bufs[lvl].astype(jnp.float32)
+                if los[lvl] is None:
+                    off = int(starts[lvl])
+                    cur = jax.lax.slice_in_dim(carry, off, off + h * w,
+                                               axis=2)
+                    carry = jax.lax.dynamic_update_slice_in_dim(
+                        carry, cur + db, off, axis=2)
+                else:
+                    off = starts[lvl] + los[lvl]
+                    cur = jax.lax.dynamic_slice_in_dim(
+                        carry, off, db.shape[2], axis=2)
+                    carry = jax.lax.dynamic_update_slice_in_dim(
+                        carry, cur + db, off, axis=2)
+            return carry, (d_lc, d_ac)
+
+        return chunk_step
+
+    carry = carry0
+    d_locs, d_attns = [], []
+    q0 = 0
+    for si, (seg, qc) in enumerate(zip(query_segments, qcs)):
+        loc_s = jax.lax.slice_in_dim(sampling_locations, q0, q0 + seg,
+                                     axis=1)
+        attn_s = jax.lax.slice_in_dim(attention_weights, q0, q0 + seg,
+                                      axis=1)
+        g_s = jax.lax.slice_in_dim(g_out, q0, q0 + seg, axis=1)
+        n_chunks = -(-seg // qc)
+        Lp = n_chunks * qc
+        loc_p = jnp.pad(loc_s, [(0, 0), (0, Lp - seg)] + [(0, 0)] * 4)
+        attn_p = jnp.pad(attn_s, [(0, 0), (0, Lp - seg)] + [(0, 0)] * 3)
+        g_p = jnp.pad(g_s, [(0, 0), (0, Lp - seg), (0, 0)])
+        loc_sc = loc_p.reshape(B, n_chunks, qc, nH, L, P, 2).swapaxes(0, 1)
+        attn_sc = attn_p.reshape(B, n_chunks, qc, nH, L, P).swapaxes(0, 1)
+        g_sc = g_p.reshape(B, n_chunks, qc, nH * D).swapaxes(0, 1)
+        carry, (d_lc, d_ac) = jax.lax.scan(
+            make_chunk_step(wins[si]), carry, (loc_sc, attn_sc, g_sc))
+        d_locs.append(d_lc.swapaxes(0, 1)
+                      .reshape(B, Lp, nH, L, P, 2)[:, :seg])
+        d_attns.append(d_ac.swapaxes(0, 1)
+                       .reshape(B, Lp, nH, L, P)[:, :seg])
+        q0 += seg
+
+    d_value = carry.transpose(0, 2, 1, 3).astype(value.dtype)
+    d_loc = jnp.concatenate(d_locs, 1).astype(sampling_locations.dtype)
+    d_attn = jnp.concatenate(d_attns, 1).astype(attention_weights.dtype)
+    return d_value, d_loc, d_attn
+
+
+@functools.lru_cache(maxsize=None)
+def _windowed_self_vjp(shapes: Tuple[Tuple[int, int], ...],
+                       segments: Tuple[int, ...], margin_px: int,
+                       remat_chunk: bool = True):
+    """custom_vjp pairing the windowed forward with the WINDOWED backward
+    (:func:`_windowed_backward`) — both passes at window width."""
+
+    @jax.custom_vjp
+    def f(value, loc, attn):
+        return ms_deform_attn_windowed(value, list(shapes), loc, attn,
+                                       segments, margin_px=margin_px)
+
+    def fwd(value, loc, attn):
+        return f(value, loc, attn), (value, loc, attn)
+
+    def bwd(res, g):
+        g_out, _ = g            # overflow count carries no gradient
+        return _windowed_backward(res[0], list(shapes), res[1], res[2],
+                                  segments, margin_px, g_out,
+                                  remat_chunk=remat_chunk)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def ms_deform_attn_windowed_vjp(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    query_segments: Sequence[int],
+    margin_px: int = 8,
+    remat_chunk: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Windowed forward + windowed custom-VJP backward (training impl).
+
+    Same ``(out, overflow)`` contract as :func:`ms_deform_attn_windowed`;
+    gradients equal the exact path's whenever ``overflow == 0`` (the train
+    engine's per-step abort enforces this). Unlike
+    :func:`ms_deform_attn_windowed_hybrid` — whose backward replays the
+    full-width core — BOTH passes here do windowed-width select work.
+    """
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    return _windowed_self_vjp(shapes,
+                              tuple(int(s) for s in query_segments),
+                              margin_px, remat_chunk)(
         value, sampling_locations, attention_weights)
 
 
@@ -1012,11 +1241,12 @@ def temporal_deform_sample(
       impl: "xla" (round-1 corner-expanded core), "pmerged" (exact
         point-merged one-hot, the round-2 default), "windowed" (pmerged with
         per-segment 1D contraction windows), "windowed_hybrid" (windowed
-        forward + exact-core custom-VJP backward — the train-oriented
-        split; decoder/no-segments calls use the core), "windowed2d"
-        (rectangular
-        query blocks with 2D windows — less VPU select work; round 3) —
-        both need ``query_segments`` and fall back to pmerged otherwise —
+        forward + exact-core custom-VJP backward — round-3 train split;
+        decoder/no-segments calls use the core), "windowed_vjp" (windowed
+        forward + WINDOWED custom-VJP backward — both passes at window
+        width; round 4), "windowed2d" (rectangular query blocks with 2D
+        windows — less VPU select work; round 3) — these need
+        ``query_segments`` and fall back to pmerged/core otherwise —
         or "pallas".
       query_segments: encoder per-level query counts (enables windowing).
       block_hw: (block_h, block_w) query-block rectangle for "windowed2d".
@@ -1071,11 +1301,15 @@ def temporal_deform_sample(
         out, overflow = ms_deform_attn_windowed_hybrid(
             v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
             margin_px=margin_px)
+    elif impl == "windowed_vjp" and query_segments is not None:
+        out, overflow = ms_deform_attn_windowed_vjp(
+            v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
+            margin_px=margin_px)
     elif impl == "windowed2d" and query_segments is not None:
         out, overflow = ms_deform_attn_windowed2d(
             v_flat, spatial_shapes, loc_flat, attn_flat, query_segments,
             block_h=block_hw[0], block_w=block_hw[1], margin_px=margin_px)
-    elif impl == "windowed_hybrid":
+    elif impl in ("windowed_hybrid", "windowed_vjp"):
         # no segments (decoder): the core path is already the fast backward
         out = ms_deform_attn_core(v_flat, spatial_shapes, loc_flat, attn_flat,
                                   query_chunk=query_chunk,

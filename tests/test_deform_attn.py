@@ -307,6 +307,83 @@ def test_windowed_hybrid_forward_and_grads_match_core():
     assert float(ov2) > 0
 
 
+def test_windowed_vjp_forward_and_grads_match_core():
+    """impl="windowed_vjp" (windowed forward + WINDOWED custom-VJP
+    backward, the round-4 train split): outputs match the windowed
+    forward, ALL input gradients match the core's (exact whenever
+    overflow == 0), overflow is still counted, and both remat settings
+    agree — the backward's hand-managed window accumulation and
+    bitwise-rederived window starts are what this guards."""
+    from snipper_tpu.ops.deform_attn import (ms_deform_attn_core,
+                                             ms_deform_attn_windowed,
+                                             ms_deform_attn_windowed_vjp)
+
+    shapes = [(60, 80), (30, 40), (15, 20)]
+    sizes = [h * w for h, w in shapes]
+    s_tot = sum(sizes)
+    rng = np.random.default_rng(11)
+    value = jnp.asarray(rng.standard_normal((2, s_tot, 2, 4)), jnp.float32)
+    refs = []
+    for (h, w) in shapes:
+        gy, gx = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)
+    # offsets up to ~6 px at level 0 — inside the margin-8 window but big
+    # enough that taps land near window edges (catches any forward/backward
+    # window-start drift, which would silently zero edge-tap gradients)
+    loc = jnp.asarray(ref[None, :, None, None, None, :]
+                      + rng.uniform(-0.07, 0.07, (2, s_tot, 2, 3, 2, 2)),
+                      jnp.float32)
+    attn = jnp.asarray(rng.uniform(0, 1, (2, s_tot, 2, 3, 2)), jnp.float32)
+
+    got, ov = ms_deform_attn_windowed_vjp(value, shapes, loc, attn, sizes)
+    want, ov_w = ms_deform_attn_windowed(value, shapes, loc, attn,
+                                         query_segments=sizes)
+    assert float(ov) == 0.0 and float(ov_w) == 0.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    g_out = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
+    _, vjp_c = jax.vjp(
+        lambda v, l, a: ms_deform_attn_core(v, shapes, l, a),
+        value, loc, attn)
+    want_grads = vjp_c(g_out)
+    for remat in (True, False):
+        _, vjp_w = jax.vjp(
+            lambda v, l, a: ms_deform_attn_windowed_vjp(
+                v, shapes, l, a, sizes, remat_chunk=remat)[0],
+            value, loc, attn)
+        for name, a, b in zip(("d_value", "d_loc", "d_attn"),
+                              vjp_w(g_out), want_grads):
+            # windowed-width dots reassociate the f32 sums the full-width
+            # core does in one pass: same math, ~1e-5 roundoff scatter
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5,
+                err_msg=f"{name} (remat={remat})")
+
+    # overflow still counted through the custom-VJP wrapper
+    loc2 = np.asarray(loc).copy()
+    loc2[0, 5, 0, 0, 0] = [0.99, 0.99]
+    _, ov2 = ms_deform_attn_windowed_vjp(value, shapes,
+                                         jnp.asarray(loc2), attn, sizes)
+    assert float(ov2) > 0
+
+    # bf16 values (the mixed-precision train path): runs, finite, and
+    # tracks the f32 gradients to bf16 resolution
+    vb = value.astype(jnp.bfloat16)
+    _, vjp_b = jax.vjp(
+        lambda v, l, a: ms_deform_attn_windowed_vjp(
+            v, shapes, l, a, sizes)[0], vb, loc, attn)
+    db_v, db_l, db_a = vjp_b(g_out.astype(jnp.bfloat16))
+    assert db_v.dtype == jnp.bfloat16
+    for a, b in zip((db_v, db_l, db_a), want_grads):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(1e-3, float(np.abs(b).max()))
+        assert np.max(np.abs(a - b)) / denom < 0.05
+
+
 def test_windowed_plan_covers_worst_case_chunk_spans():
     """Plan invariant (regression for the chunk-floor bug): for EVERY query
     segment, each tap-level window must cover that segment's worst-case

@@ -186,11 +186,16 @@ def main():
         from snipper_tpu.train.state import create_train_state
         from snipper_tpu.train.step import make_train_step
 
-        tcfg = C.canonical_t4_f2().replace(deform_impl="xla")
+        # the production train default since round 4: windowed_vjp sampling
+        # (1.71x faster backward) + in-graph exact-impl lax.cond fallback
+        tcfg = C.canonical_t4_f2().replace(deform_impl="windowed_vjp")
         tmodel, tparams = init_model(tcfg, jax.random.PRNGKey(1))
+        from snipper_tpu.models.snipper import build_model as _bm
+        exact_tmodel = _bm(tcfg.replace(deform_impl="xla"))
         crit = SetCriterion(tcfg)
         state, tx = create_train_state(tcfg, tparams, steps_per_epoch=100)
-        step = make_train_step(tmodel, crit, tx, mixed_precision=True)
+        step = make_train_step(tmodel, crit, tx, mixed_precision=True,
+                               exact_model=exact_tmodel)
         loader = DataLoader(SyntheticDataset(tcfg, n_samples=2), 2,
                             shuffle=False, process_index=0, process_count=1)
         raw = next(iter(loader))

@@ -49,6 +49,14 @@ def main():
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
     cfg = build_config(args)
+    # TRAIN default: windowed_vjp (windowed forward + windowed custom-VJP
+    # backward) is 1.71x faster per step than "xla" at canonical scale
+    # (BASELINE.md round-4), and the step's in-graph lax.cond fallback
+    # (make_train_step exact_model) keeps the applied update exact even
+    # when learned offsets exceed the window margin. An explicit
+    # --deform_impl on the command line wins over this default.
+    if args.deform_impl is None and cfg.deform_impl == "xla":
+        cfg = cfg.replace(deform_impl="windowed_vjp")
     os.makedirs(args.output_dir, exist_ok=True)
     print(f"config: {cfg}", flush=True)
 
@@ -106,9 +114,19 @@ def main():
         state = restore_checkpoint(resume, state)
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed from {resume} at epoch {start_epoch}", flush=True)
+    exact_model = None
+    if cfg.deform_impl in ("windowed", "windowed2d", "windowed_hybrid",
+                           "windowed_vjp"):
+        # windowed gradients are exact only while the overflow counter is
+        # zero; this second module (same param tree, exact "xla" sampling)
+        # backs the step's in-graph lax.cond redo on overflow steps
+        from snipper_tpu.models.snipper import build_model
+
+        exact_model = build_model(cfg.replace(deform_impl="xla"))
     step = make_train_step(model, crit, tx,
-                           mixed_precision=args.mixed_precision)
-    eval_step = make_eval_step(model, crit)
+                           mixed_precision=args.mixed_precision,
+                           exact_model=exact_model)
+    eval_step = make_eval_step(model, crit, exact_model=exact_model)
     state = replicate(state, mesh)
     lr_fn = step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)
 

@@ -96,7 +96,7 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
         metrics = jax.device_get(metrics)
         loss = float(metrics["loss_total"])
         if profiling:
-            profiled += 1   # the float() above synced this step
+            profiled += 1   # the device_get above synced this step
             if profiled >= profile_steps:
                 _finish_profile()
         if not np.isfinite(loss):
@@ -105,12 +105,22 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             print({k: float(v) for k, v in metrics.items()}, flush=True)
             sys.exit(1)
         if float(metrics.get("sampling_overflow", 0.0)) > 0:
-            # windowed sampling dropped taps: gradients are not exact —
-            # abort rather than train on silently-corrupted gradients
-            _finish_profile()
-            print("sampling_overflow > 0: windowed sampling dropped taps; "
-                  "retrain with deform_impl='xla' (exact)", flush=True)
-            sys.exit(1)
+            if float(metrics.get("sampling_exact_redo", 0.0)) > 0:
+                # the step already recomputed the gradients in-graph with
+                # the exact impl (make_train_step's lax.cond fallback) —
+                # the applied update is exact; log and keep going
+                print("sampling_overflow > 0: gradients recomputed "
+                      "in-graph with the exact deform_impl='xla' branch "
+                      "(windowed taps exceeded the margin)", flush=True)
+            else:
+                # windowed sampling dropped taps and this step has no
+                # exact fallback: gradients are not exact — abort rather
+                # than train on silently-corrupted gradients
+                _finish_profile()
+                print("sampling_overflow > 0: windowed sampling dropped "
+                      "taps; retrain with deform_impl='xla' (exact)",
+                      flush=True)
+                sys.exit(1)
         logger.update(**{k: float(v) for k, v in metrics.items()})
         if lr_fn is not None:
             logger.update(lr=float(lr_fn(int(state.step))))
@@ -227,10 +237,19 @@ def evaluate(eval_step_fn, params, loader, cfg: Config,
             if v.size:
                 stats[f"{name}{k}"] = float(v.mean())
     if stats.get("sampling_overflow", 0.0) > 0:
-        print("WARNING: windowed sampling dropped taps during eval "
-              f"(sampling_overflow avg {stats['sampling_overflow']:.1f}); "
-              "metrics are inexact — use an exact deform_impl (pmerged/"
-              "xla) or a larger sampling_margin for evaluation", flush=True)
+        if stats.get("sampling_exact_redo", 0.0) > 0:
+            # the eval step redid overflowed forwards in-graph with the
+            # exact impl (make_eval_step exact_model) — metrics are exact
+            print("windowed sampling overflowed on some eval batches; "
+                  "forwards were redone in-graph with the exact impl "
+                  f"(redo rate {stats['sampling_exact_redo']:.2f})",
+                  flush=True)
+        else:
+            print("WARNING: windowed sampling dropped taps during eval "
+                  f"(sampling_overflow avg "
+                  f"{stats['sampling_overflow']:.1f}); metrics are inexact "
+                  "— use an exact deform_impl (pmerged/xla) or a larger "
+                  "sampling_margin for evaluation", flush=True)
     print("Eval stats:", {k: round(v, 4) for k, v in stats.items()
                           if not k.startswith("loss")}, flush=True)
     if collect_results:

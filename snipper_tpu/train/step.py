@@ -31,6 +31,7 @@ def make_train_step(
     tx,
     donate: bool = True,
     mixed_precision: bool = True,
+    exact_model=None,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -54,29 +55,66 @@ def make_train_step(
     policy; BASELINE.md "Train-step impl findings — CORRECTED") with
     matching loss trajectories — the recommended production mode and the
     default. Pass ``mixed_precision=False`` for full-f32 numerics debugging.
+
+    ``exact_model``: a second module built from
+    ``cfg.replace(deform_impl="xla")`` sharing ``model``'s parameter tree.
+    When given, the step guards windowed-sampling exactness IN-GRAPH: if
+    the fast windowed gradients report ``sampling_overflow > 0`` (their
+    exactness contract — reference
+    ``models/ops/functions/ms_deform_attn_func.py:45-65``), a ``lax.cond``
+    branch recomputes value+grads with the exact impl before the optimizer
+    update, so the applied update is ALWAYS exact. The branch costs peak
+    memory ``max`` (not sum) of the two graphs and runs only on overflow
+    steps; ``metrics["sampling_exact_redo"]`` reports when it fired (the
+    train engine logs it instead of aborting). Train-side analog of the
+    inference margin cascade (``infer/pipeline.py::ExactnessGuard``), kept
+    inside the ONE jitted XLA program per the architecture invariant.
     """
 
     def step(state: TrainState, batch: Dict, rng) -> tuple:
-        def loss_fn(params):
-            if mixed_precision:
-                p = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if a.dtype == jnp.float32 else a, params)
-                images = batch["images"].astype(jnp.bfloat16)
-            else:
-                p, images = params, batch["images"]
-            out = model.apply({"params": p}, images,
-                              batch.get("mask"), train=True,
-                              rngs={"dropout": rng})
-            total, losses, _ = criterion(out, batch["targets"])
-            # windowed sampling drops out-of-window taps; surface the count
-            # so training with impl="windowed" can assert exactness per step
-            losses["sampling_overflow"] = jax.lax.stop_gradient(
-                out.get("sampling_overflow", jnp.zeros((), jnp.float32)))
-            return total, losses
+        def make_loss_fn(mdl):
+            def loss_fn(params):
+                if mixed_precision:
+                    p = jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.bfloat16)
+                        if a.dtype == jnp.float32 else a, params)
+                    images = batch["images"].astype(jnp.bfloat16)
+                else:
+                    p, images = params, batch["images"]
+                out = mdl.apply({"params": p}, images,
+                                batch.get("mask"), train=True,
+                                rngs={"dropout": rng})
+                total, losses, _ = criterion(out, batch["targets"])
+                # windowed sampling drops out-of-window taps; surface the
+                # count so training with a windowed impl can assert
+                # exactness per step
+                losses["sampling_overflow"] = jax.lax.stop_gradient(
+                    out.get("sampling_overflow", jnp.zeros((), jnp.float32)))
+                return total, losses
+            return loss_fn
 
         (total, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            make_loss_fn(model), has_aux=True)(state.params)
+
+        if exact_model is not None:
+            overflow = losses["sampling_overflow"]
+
+            def redo(_):
+                (t2, l2), g2 = jax.value_and_grad(
+                    make_loss_fn(exact_model), has_aux=True)(state.params)
+                # keep the WINDOWED counter visible so the engine can log
+                # that the fallback fired (the exact impl reports 0)
+                l2 = dict(l2, sampling_overflow=overflow)
+                return (t2, l2), g2
+
+            def keep(_):
+                return (total, losses), grads
+
+            (total, losses), grads = jax.lax.cond(
+                overflow > 0, redo, keep, None)
+            losses = dict(losses,
+                          sampling_exact_redo=(overflow > 0)
+                          .astype(jnp.float32))
         # frozen params are requires_grad=False in the reference, so its
         # global-norm clip and logged grad norm never include them
         grads = mask_frozen_grads(grads)
@@ -116,18 +154,41 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
 
 
-def make_eval_step(model, criterion: SetCriterion) -> Callable:
+def make_eval_step(model, criterion: SetCriterion,
+                   exact_model=None) -> Callable:
     """Forward + criterion (for losses and match indices, reference
-    ``engine.py:117-129``) without gradient."""
+    ``engine.py:117-129``) without gradient.
 
-    def step(params, batch):
-        out = model.apply({"params": params}, batch["images"],
-                          batch.get("mask"))
+    ``exact_model``: as in :func:`make_train_step` — when the windowed
+    forward drops taps (``sampling_overflow > 0``), a ``lax.cond`` branch
+    redoes the forward with the exact impl so eval predictions are never
+    inexact."""
+
+    def forward(mdl, params, batch):
+        out = mdl.apply({"params": params}, batch["images"],
+                        batch.get("mask"))
         total, losses, src_idx = criterion(out, batch["targets"])
         # surface the windowed-sampling dropped-tap counter (as in the
         # train step) so evaluate() can warn on inexact eval forwards
         losses["sampling_overflow"] = out.get(
             "sampling_overflow", jnp.zeros((), jnp.float32))
         return out, {"loss_total": total, **losses}, src_idx
+
+    def step(params, batch):
+        out, metrics, src_idx = forward(model, params, batch)
+        if exact_model is not None:
+            overflow = metrics["sampling_overflow"]
+
+            def redo(_):
+                o2, m2, s2 = forward(exact_model, params, batch)
+                return o2, dict(m2, sampling_overflow=overflow), s2
+
+            out, metrics, src_idx = jax.lax.cond(
+                overflow > 0, redo,
+                lambda _: (out, metrics, src_idx), None)
+            metrics = dict(metrics,
+                           sampling_exact_redo=(overflow > 0)
+                           .astype(jnp.float32))
+        return out, metrics, src_idx
 
     return jax.jit(step)

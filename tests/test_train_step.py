@@ -344,3 +344,108 @@ def test_frozen_grads_excluded_from_clip():
     # frozen params receive exactly zero update
     np.testing.assert_allclose(
         np.asarray(u_big["backbone"]["bn1"]["scale"]), 0.0)
+
+
+def test_exact_redo_fallback_on_overflow():
+    """The round-4 production train step: windowed_vjp sampling guarded by
+    an IN-GRAPH lax.cond exact-impl fallback (make_train_step exact_model).
+    On clean steps the fast windowed gradients are used and the redo flag
+    stays 0; when learned offsets exceed the window margin (overflow > 0)
+    the step's applied update must EQUAL the pure deform_impl='xla' step's
+    — the fallback recomputes value+grads with the exact impl before the
+    optimizer update, so training never consumes dropped-tap gradients.
+    Same contract as the inference margin cascade
+    (infer/pipeline.py::ExactnessGuard); reference exactness contract:
+    models/ops/functions/ms_deform_attn_func.py:45-65."""
+    from snipper_tpu.models.snipper import build_model
+
+    # level-0 large enough that the plan enables windows (tiny@default
+    # 8x12 grids run full-width and could never overflow)
+    cfg = Config.tiny().replace(deform_impl="windowed_vjp",
+                                sampling_margin=5, dropout=0.0,
+                                input_height=480, input_width=640)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    exact_model = build_model(cfg.replace(deform_impl="xla"))
+    crit = SetCriterion(cfg)
+    state, tx = create_train_state(cfg, params, steps_per_epoch=10)
+    step = make_train_step(model, crit, tx, donate=False,
+                           mixed_precision=False, exact_model=exact_model)
+    xla_model, _ = init_model(cfg.replace(deform_impl="xla"),
+                              jax.random.PRNGKey(0))
+    xla_step = make_train_step(xla_model, crit, tx, donate=False,
+                               mixed_precision=False)
+    batch = _synthetic_batch(cfg, 1, np.random.default_rng(5))
+    rng = jax.random.PRNGKey(3)
+
+    # clean step: windowed gradients used, no redo
+    new_state, m = step(state, batch, rng)
+    assert float(m["sampling_overflow"]) == 0.0
+    assert float(m["sampling_exact_redo"]) == 0.0
+    assert np.isfinite(float(m["loss_total"]))
+
+    # bump offsets so the tap SPREAD exceeds the margin while staying
+    # inside the 60x80 level-0 map (same pattern as
+    # test_model_overflow_counter_fires_on_large_offsets)
+    def bump(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "sampling_offsets" in names and names[-1] == "bias":
+            sign = 1.0 - 2.0 * ((jnp.arange(leaf.shape[0]) // 2) % 2)
+            return leaf + 20.0 * sign
+        return leaf
+
+    big = jax.tree_util.tree_map_with_path(bump, state.params)
+    state_big = state.replace(params=big)
+
+    red_state, m_red = step(state_big, batch, rng)
+    assert float(m_red["sampling_overflow"]) > 0.0
+    assert float(m_red["sampling_exact_redo"]) == 1.0
+
+    ref_state, m_ref = xla_step(state_big, batch, rng)
+    # the redone update must match the exact step's (same graph content,
+    # one lives inside a lax.cond branch — tiny fusion-order scatter only)
+    np.testing.assert_allclose(float(m_red["loss_total"]),
+                               float(m_ref["loss_total"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(red_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_eval_step_exact_redo_on_overflow():
+    """make_eval_step's exact_model fallback: on overflow the returned
+    predictions must equal the exact impl's forward (eval never reports
+    metrics from dropped-tap predictions)."""
+    from snipper_tpu.models.snipper import build_model
+    from snipper_tpu.train.step import make_eval_step
+
+    cfg = Config.tiny().replace(deform_impl="windowed_vjp",
+                                sampling_margin=5, dropout=0.0,
+                                input_height=480, input_width=640)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    exact_model = build_model(cfg.replace(deform_impl="xla"))
+    crit = SetCriterion(cfg)
+    estep = make_eval_step(model, crit, exact_model=exact_model)
+    batch = _synthetic_batch(cfg, 1, np.random.default_rng(6))
+
+    out, m, _ = estep(params, batch)
+    assert float(m["sampling_overflow"]) == 0.0
+    assert float(m["sampling_exact_redo"]) == 0.0
+
+    def bump(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "sampling_offsets" in names and names[-1] == "bias":
+            sign = 1.0 - 2.0 * ((jnp.arange(leaf.shape[0]) // 2) % 2)
+            return leaf + 20.0 * sign
+        return leaf
+
+    big = jax.tree_util.tree_map_with_path(bump, params)
+    out2, m2, _ = estep(big, batch)
+    assert float(m2["sampling_overflow"]) > 0.0
+    assert float(m2["sampling_exact_redo"]) == 1.0
+    want = exact_model.apply({"params": big}, batch["images"])
+    np.testing.assert_allclose(np.asarray(out2["pred_logits"]),
+                               np.asarray(want["pred_logits"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2["pred_kpts2d"]),
+                               np.asarray(want["pred_kpts2d"]),
+                               rtol=1e-5, atol=1e-6)

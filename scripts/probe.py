@@ -164,7 +164,9 @@ def cmd_train(args):
                 state, tx = create_train_state(cfg, params,
                                                steps_per_epoch=100)
                 step = make_train_step(model, crit, tx, mixed_precision=mp)
-                loader = DataLoader(SyntheticDataset(cfg, n_samples=2),
+                loader = DataLoader(SyntheticDataset(
+                                        cfg, n_samples=max(2,
+                                                           args.batch_size)),
                                     args.batch_size, shuffle=False,
                                     process_index=0, process_count=1)
                 raw = next(iter(loader))

@@ -199,7 +199,12 @@ def main():
         loader = DataLoader(SyntheticDataset(tcfg, n_samples=2), 2,
                             shuffle=False, process_index=0, process_count=1)
         raw = next(iter(loader))
-        batch = {"images": raw["images"], "targets": raw["targets"]}
+        # device-resident batch: the production train loop overlaps the
+        # host->device input transfer with the previous step
+        # (engine.py device_prefetch); timing a host-numpy batch would bill
+        # a ~46 MB/step tunnel copy (~230 ms at ~200 MB/s) to the step
+        batch = jax.device_put({"images": raw["images"],
+                                "targets": raw["targets"]})
         rng_t = jax.random.PRNGKey(2)
         state, m = step(state, batch, rng_t)      # compile
         float(m["loss_total"])

@@ -170,18 +170,37 @@ def cmd_train(args):
                                     args.batch_size, shuffle=False,
                                     process_index=0, process_count=1)
                 raw = next(iter(loader))
-                batch = {"images": raw["images"],
-                         "targets": raw["targets"]}
+                # device-resident batch: production overlaps the input
+                # transfer (engine.py device_prefetch); a host-numpy batch
+                # re-pays ~46 MB/step of tunnel copy inside the timing
+                batch = jax.device_put({"images": raw["images"],
+                                        "targets": raw["targets"]})
                 rng = jax.random.PRNGKey(2)
                 t0 = time.perf_counter()
                 state, m = step(state, batch, rng)
                 loss0 = float(m["loss_total"])
                 compile_s = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                for _ in range(args.K):
-                    state, m = step(state, batch, rng)
-                loss1 = float(m["loss_total"])
-                ms = (time.perf_counter() - t0) / args.K * 1e3
+                if getattr(args, "profile_dir", None):
+                    from snipper_tpu.utils import profiling
+
+                    with profiling.trace(args.profile_dir):
+                        t0 = time.perf_counter()
+                        for _ in range(args.K):
+                            state, m = step(state, batch, rng)
+                        loss1 = float(m["loss_total"])
+                        ms = (time.perf_counter() - t0) / args.K * 1e3
+                    top = profiling.summarize_trace(args.profile_dir,
+                                                    top_k=20,
+                                                    n_iters=args.K)
+                    print(f"-- top device ops (ms/step, {impl} mp={mp}):")
+                    for src, t_ms in top.items():
+                        print(f"   {t_ms:8.2f}  {src}", flush=True)
+                else:
+                    t0 = time.perf_counter()
+                    for _ in range(args.K):
+                        state, m = step(state, batch, rng)
+                    loss1 = float(m["loss_total"])
+                    ms = (time.perf_counter() - t0) / args.K * 1e3
                 ovf = float(m.get("sampling_overflow", -1.0))
                 print(f"train {impl} mp={mp} remat={args.remat} "
                       f"b{args.batch_size}: {ms:.1f} ms/step "
@@ -381,6 +400,10 @@ def main():
     t.add_argument("--remat", default="save_sampling")
     t.add_argument("--batch_size", type=int, default=2)
     t.add_argument("-K", type=int, default=4)
+    t.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace over the timed "
+                        "iterations and print the top-20 device ops by "
+                        "source line (BASELINE.md train-step breakdown)")
     t.set_defaults(fn=cmd_train)
 
     o = sub.add_parser("op")
@@ -406,6 +429,9 @@ def main():
     lg.set_defaults(fn=cmd_lanegather)
 
     args = p.parse_args()
+    from snipper_tpu.cli.common import respect_platform_env
+
+    respect_platform_env()
     args.fn(args)
     print("DONE", flush=True)
 

@@ -24,8 +24,14 @@ def trace(log_dir: str):
 
 def summarize_trace(log_dir: str, top_k: int = 15,
                     n_iters: int = 1) -> Dict[str, float]:
-    """Aggregate device-op time by source line from the newest trace in
-    ``log_dir``; returns {source_line: ms_per_iter}."""
+    """Aggregate device-op SELF time by source line from the newest trace
+    in ``log_dir``; returns {source_line: ms_per_iter}.
+
+    TPU traces nest heavily on the 'XLA Ops' lane (fusions contain their
+    constituent ops, ~90% of events overlap a parent), so raw duration
+    sums double-count ~1.8x; self time (duration minus direct children)
+    sums exactly to device busy time. Only the 'XLA Ops' thread lane is
+    read — 'Steps'/'XLA Modules' lanes duplicate whole steps/modules."""
     paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
     if not paths:
         return {}
@@ -36,13 +42,33 @@ def summarize_trace(log_dir: str, top_k: int = 15,
     device_pids = {p for p, n in pids.items() if "TPU" in n or "GPU" in n}
     if not device_pids:  # CPU-platform trace: one '/host:CPU' process
         device_pids = {p for p, n in pids.items() if "CPU" in n}
-    agg: Dict[str, float] = collections.Counter()
+    op_lanes = {(e["pid"], e["tid"]) for e in tr["traceEvents"]
+                if e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e["args"].get("name") == "XLA Ops"
+                and e["pid"] in device_pids}
+    evs = []
     for e in tr["traceEvents"]:
         if (e.get("ph") != "X" or e.get("pid") not in device_pids
                 or e["name"].startswith("jit_")):
             continue
-        src = str((e.get("args") or {}).get("source", "?"))
-        agg[src] += e.get("dur", 0) / 1e3 / n_iters
+        if op_lanes and (e["pid"], e["tid"]) not in op_lanes:
+            continue
+        a = e.get("args") or {}
+        # TPU traces carry op-metadata "source" (file:line); CPU traces
+        # only the HLO op name — fall back so the summary is never all-"?".
+        src = str(a.get("source") or a.get("hlo_op") or e["name"])
+        evs.append((e["ts"], -e.get("dur", 0), src))
+    evs.sort()
+    agg: Dict[str, float] = collections.Counter()
+    stack = []  # (end_ts, src) of currently-open enclosing events
+    for ts, neg_dur, src in evs:
+        dur = -neg_dur
+        while stack and stack[-1][0] <= ts:
+            stack.pop()
+        if stack:  # direct child: subtract from the parent's self time
+            agg[stack[-1][1]] -= dur / 1e3 / n_iters
+        agg[src] += dur / 1e3 / n_iters
+        stack.append((ts + dur, src))
     return dict(sorted(agg.items(), key=lambda kv: -kv[1])[:top_k])
 
 

@@ -202,8 +202,13 @@ def cmd_train(args):
                     loss1 = float(m["loss_total"])
                     ms = (time.perf_counter() - t0) / args.K * 1e3
                 ovf = float(m.get("sampling_overflow", -1.0))
+                # Under --profile_dir the timing ran INSIDE the active
+                # jax.profiler trace — tag it so the line is never mistaken
+                # for an honest untraced step time (ADVICE r4).
+                traced = " (traced)" if getattr(args, "profile_dir",
+                                                None) else ""
                 print(f"train {impl} mp={mp} remat={args.remat} "
-                      f"b{args.batch_size}: {ms:.1f} ms/step "
+                      f"b{args.batch_size}: {ms:.1f} ms/step{traced} "
                       f"(compile {compile_s:.0f}s, "
                       f"loss {loss0:.1f}->{loss1:.1f}, overflow {ovf})",
                       flush=True)
@@ -374,7 +379,7 @@ def cmd_lanegather(args):
     Delegates to ops.pallas_deform lane-gather experiment kernels; prints
     ms/op-call next to the BASELINE.md 16.4 (XLA emitter) / 14.8 (Pallas
     kernel-only select floor) numbers."""
-    from snipper_tpu.ops import lanegather_probe
+    import lanegather_probe  # scripts/lanegather_probe.py (sibling file)
 
     lanegather_probe.run(K=args.K)
 

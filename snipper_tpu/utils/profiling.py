@@ -37,16 +37,20 @@ def summarize_trace(log_dir: str, top_k: int = 15,
         return {}
     with gzip.open(paths[-1]) as f:
         tr = json.load(f)
-    pids = {e["pid"]: e["args"].get("name", "") for e in tr["traceEvents"]
+    pids = {e["pid"]: (e.get("args") or {}).get("name", "")
+            for e in tr["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     device_pids = {p for p, n in pids.items() if "TPU" in n or "GPU" in n}
     if not device_pids:  # CPU-platform trace: one '/host:CPU' process
         device_pids = {p for p, n in pids.items() if "CPU" in n}
     op_lanes = {(e["pid"], e["tid"]) for e in tr["traceEvents"]
                 if e.get("ph") == "M" and e.get("name") == "thread_name"
-                and e["args"].get("name") == "XLA Ops"
+                and (e.get("args") or {}).get("name") == "XLA Ops"
                 and e["pid"] in device_pids}
-    evs = []
+    # Nesting only holds WITHIN one (pid, tid) lane: events on different
+    # lanes run concurrently (multi-core/multi-device) and must not be
+    # treated as parent/child — bucket per lane, then aggregate.
+    lanes: Dict[tuple, list] = collections.defaultdict(list)
     for e in tr["traceEvents"]:
         if (e.get("ph") != "X" or e.get("pid") not in device_pids
                 or e["name"].startswith("jit_")):
@@ -57,18 +61,19 @@ def summarize_trace(log_dir: str, top_k: int = 15,
         # TPU traces carry op-metadata "source" (file:line); CPU traces
         # only the HLO op name — fall back so the summary is never all-"?".
         src = str(a.get("source") or a.get("hlo_op") or e["name"])
-        evs.append((e["ts"], -e.get("dur", 0), src))
-    evs.sort()
+        lanes[(e["pid"], e["tid"])].append((e["ts"], -e.get("dur", 0), src))
     agg: Dict[str, float] = collections.Counter()
-    stack = []  # (end_ts, src) of currently-open enclosing events
-    for ts, neg_dur, src in evs:
-        dur = -neg_dur
-        while stack and stack[-1][0] <= ts:
-            stack.pop()
-        if stack:  # direct child: subtract from the parent's self time
-            agg[stack[-1][1]] -= dur / 1e3 / n_iters
-        agg[src] += dur / 1e3 / n_iters
-        stack.append((ts + dur, src))
+    for evs in lanes.values():
+        evs.sort()
+        stack = []  # (end_ts, src) of currently-open enclosing events
+        for ts, neg_dur, src in evs:
+            dur = -neg_dur
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:  # direct child: subtract from the parent's self time
+                agg[stack[-1][1]] -= dur / 1e3 / n_iters
+            agg[src] += dur / 1e3 / n_iters
+            stack.append((ts + dur, src))
     return dict(sorted(agg.items(), key=lambda kv: -kv[1])[:top_k])
 
 

@@ -27,7 +27,12 @@ REF_CLIS = ("main.py", "eval.py", "inference.py")
 REPO_CLI_DIR = os.path.join(os.path.dirname(__file__), "..",
                             "snipper_tpu", "cli")
 
-_FLAG_RE = re.compile(r"add_argument\(\s*['\"]--([A-Za-z0-9_]+)['\"]")
+# Match '--flag' ANYWHERE in the add_argument call (not only as the first
+# argument): add_argument('-r', '--resume', ...) must not escape the audit
+# in either direction (ADVICE r4).
+_FLAG_RE = re.compile(
+    r"add_argument\((?:[^()'\"]|'[^']*'|\"[^\"]*\")*?"
+    r"['\"]--([A-Za-z0-9_]+)['\"]", re.DOTALL)
 
 # Reference flags with no same-named Config field / CLI flag, and why.
 # Keys: flag name. Values: (our equivalent or "dead", rationale).

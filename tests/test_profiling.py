@@ -69,6 +69,37 @@ def test_non_op_lanes_and_other_processes_are_ignored(tmp_path):
     assert top == {"c.py:3": 5.0}
 
 
+def test_concurrent_lanes_do_not_nest_across_lanes(tmp_path):
+    # Two 'XLA Ops' lanes (multi-core/multi-device): a 10 ms op on lane A
+    # overlapping a 6 ms op on lane B are CONCURRENT, not parent/child —
+    # total must be 16 ms, not 10-6=4 ms (ADVICE r4 medium).
+    evs = [
+        _meta(3, "/device:TPU:0"),
+        _meta(3, None, tid=3, tname="XLA Ops"),
+        _meta(3, None, tid=4, tname="XLA Ops"),
+        {"ph": "X", "pid": 3, "tid": 3, "ts": 0, "dur": 10_000,
+         "name": "fusion.1", "args": {"source": "a.py:1"}},
+        {"ph": "X", "pid": 3, "tid": 4, "ts": 1_000, "dur": 6_000,
+         "name": "dot.2", "args": {"source": "b.py:2"}},
+    ]
+    top = summarize_trace(_write_trace(tmp_path, evs))
+    assert abs(top["a.py:1"] - 10.0) < 1e-9
+    assert abs(top["b.py:2"] - 6.0) < 1e-9
+
+
+def test_thread_meta_without_args_does_not_crash(tmp_path):
+    # A thread_name metadata event missing 'args' must be skipped, not
+    # raise KeyError and kill the summary (ADVICE r4 low).
+    evs = [
+        _meta(3, "/device:TPU:0"),
+        {"ph": "M", "pid": 3, "tid": 9, "name": "thread_name"},
+        _meta(3, None, tid=3, tname="XLA Ops"),
+        {"ph": "X", "pid": 3, "tid": 3, "ts": 0, "dur": 2_000,
+         "name": "conv.1", "args": {"source": "c.py:3"}},
+    ]
+    assert summarize_trace(_write_trace(tmp_path, evs)) == {"c.py:3": 2.0}
+
+
 def test_cpu_trace_falls_back_to_hlo_op_names(tmp_path):
     # CPU-platform traces: one '/host:CPU' process, no thread_name metadata
     # for an 'XLA Ops' lane, no 'source' arg -> fall back to hlo_op

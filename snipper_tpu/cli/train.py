@@ -134,6 +134,14 @@ def main():
 
     guard = PreemptionGuard()
     rng = jax.random.PRNGKey(cfg.seed + 1)
+    # exact accumulation-window num_traj needs the host to see the whole
+    # window's targets; with multiple processes each host sees only its
+    # slice, so the window normalizer stays microbatch-local there
+    accum = cfg.grad_accum_steps if jax.process_count() == 1 else 1
+    if accum != cfg.grad_accum_steps:
+        print("WARNING: multi-process run — the grad-accumulation num_traj "
+              "normalizer is microbatch-local (exact window num_traj needs "
+              "single-process target visibility)", flush=True)
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
@@ -143,7 +151,8 @@ def main():
             stop_flag=lambda: guard.should_stop,
             max_steps=args.steps_per_epoch,
             profile_dir=args.profile_dir if epoch == start_epoch else None,
-            profile_steps=args.profile_steps)
+            profile_steps=args.profile_steps,
+            grad_accum_steps=accum)
         ckpt = save_checkpoint(os.path.join(args.output_dir, "ckpts"),
                                {"params": state.params,
                                 "opt_state": state.opt_state,

@@ -222,12 +222,24 @@ class SetCriterion:
         targets: Dict[str, jnp.ndarray],
         axis_name: Optional[str] = None,
         solver: str = "jax",
+        num_traj: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
-        """Returns (total_weighted_loss, loss_dict, src_idx_of_final_layer)."""
-        num_traj = jnp.sum(targets["valid"].astype(jnp.float32))
-        if axis_name is not None:
-            num_traj = jax.lax.pmean(num_traj, axis_name)
-        num_traj = jnp.clip(num_traj, 1.0, None)
+        """Returns (total_weighted_loss, loss_dict, src_idx_of_final_layer).
+
+        ``num_traj``: optional externally-computed normalizer, used AS-IS
+        (no re-clamp). Gradient accumulation passes the window's
+        ``max(total_valid / k, 1)`` here so k microbatches reproduce the
+        reference's k-rank all-reduced normalizer exactly
+        (``models/model.py:521-526``; ``train/engine.py::
+        inject_window_num_traj``). num_traj is a pure function of the
+        targets, so the window total is computable up front on the host."""
+        if num_traj is None:
+            num_traj = jnp.sum(targets["valid"].astype(jnp.float32))
+            if axis_name is not None:
+                num_traj = jax.lax.pmean(num_traj, axis_name)
+            num_traj = jnp.clip(num_traj, 1.0, None)
+        else:
+            num_traj = jnp.asarray(num_traj, jnp.float32)
 
         def run_layer(logits, kpts2d, depth):
             # one shared matching implementation (cost + padding-column

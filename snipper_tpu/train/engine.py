@@ -26,7 +26,47 @@ PCKH_KEYS = ("pckh_root", "pckh_joint")
 
 
 def _to_device_batch(batch: Dict) -> Dict:
-    return {"images": batch["images"], "targets": batch["targets"]}
+    out = {"images": batch["images"], "targets": batch["targets"]}
+    if "num_traj" in batch:
+        out["num_traj"] = batch["num_traj"]
+    return out
+
+
+def inject_window_num_traj(batches, k: int):
+    """Attach each accumulation window's exact loss normalizer.
+
+    The reference normalizes every trajectory loss by ``num_traj``
+    all-reduced across its k DDP ranks (``models/model.py:521-526``):
+    each rank divides by ``max(N_global / k, 1)``. With gradient
+    accumulation standing in for the k ranks, the same normalizer must
+    span the window's k microbatches — num_traj is a pure function of the
+    targets, so it is computed here from a k-batch lookahead and attached
+    as ``batch["num_traj"]`` (consumed by the criterion override,
+    ``losses/criterion.py``). This makes ``--grad_accum_steps k``
+    reproduce the k-rank DDP step exactly with heterogeneous per-batch
+    person counts (previously microbatch-local, a small per-step
+    weighting deviation).
+
+    A trailing partial window (j < k batches) normalizes over its own j —
+    those gradients are accumulated but dropped at exit anyway (see the
+    train CLI's steps_per_epoch warning)."""
+    buf = []
+
+    def flush():
+        total = sum(float(np.sum(np.asarray(b["targets"]["valid"],
+                                            dtype=np.float32)))
+                    for b in buf)
+        norm = np.float32(max(total / len(buf), 1.0))
+        for b in buf:
+            yield dict(b, num_traj=norm)
+        buf.clear()
+
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            yield from flush()
+    if buf:
+        yield from flush()
 
 
 def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
@@ -34,9 +74,14 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
                     put_batch=None, stop_flag=None,
                     max_steps: Optional[int] = None,
                     profile_dir: Optional[str] = None,
-                    profile_steps: int = 3) -> tuple:
+                    profile_steps: int = 3,
+                    grad_accum_steps: int = 1) -> tuple:
     """``max_steps``: truncate the epoch after N steps (smoke runs; the
     full loader length is used when None).
+
+    ``grad_accum_steps > 1``: attach each k-batch accumulation window's
+    exact ``num_traj`` normalizer (:func:`inject_window_num_traj`) so the
+    accumulated update reproduces the reference's k-rank DDP step.
 
     ``profile_dir``: capture a ``jax.profiler`` device trace of
     ``profile_steps`` steady-state steps (starting at step 2, after the
@@ -68,14 +113,15 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             _print_trace_summary(profile_dir, profiled)
 
     header = f"Epoch: [{epoch}]"
-    iterable = loader
+    iterable = (_to_device_batch(b) for b in loader)
+    if grad_accum_steps > 1:
+        iterable = inject_window_num_traj(iterable, grad_accum_steps)
     if put_batch is not None:
         # double-buffered host->device feed: next batch transfers while the
         # current step runs (replaces torch pin_memory+non_blocking)
         from snipper_tpu.data.loader import device_prefetch
 
-        iterable = device_prefetch(
-            (_to_device_batch(b) for b in loader), put_batch)
+        iterable = device_prefetch(iterable, put_batch)
     for i, batch in enumerate(logger.log_every(iterable, print_freq,
                                                header)):
         if max_steps is not None and i >= max_steps:
@@ -88,8 +134,7 @@ def train_one_epoch(step_fn, state, loader, epoch: int, base_rng,
             jax.profiler.start_trace(profile_dir)
             profiling = True
         rng = jax.random.fold_in(base_rng, epoch * 1_000_000 + i)
-        dev_batch = batch if put_batch is not None else _to_device_batch(
-            batch)
+        dev_batch = batch
         state, metrics = step_fn(state, dev_batch, rng)
         # ONE host transfer for all ~15 scalar metrics: per-scalar float()
         # readbacks each pay a tunnel round-trip on PCIe/tunnel hosts

@@ -79,13 +79,15 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
     applies ONE optimizer update (``optax.MultiSteps``) — numerically the
     reference's k-rank DDP step (per-rank grads averaged, then clip+AdamW),
     so ``batch_size=2, grad_accum_steps=8`` on one chip reproduces the
-    canonical 2x8-GPU recipe (reference README.md:67, main.py:184). The one
-    deviation mirrors DDP itself: each microbatch's loss normalizer
-    ``num_traj`` is microbatch-local, whereas the reference all-reduces it
-    across ranks (models/model.py:521-526); the heatmap loss's per-rank-sum
-    + grad-average semantics match exactly. ``steps_per_epoch`` counts
-    MICRObatches (loader steps); the LR schedule steps per optimizer
-    update."""
+    canonical 2x8-GPU recipe (reference README.md:67, main.py:184). The
+    ``num_traj`` loss normalizer matches exactly too when the train loop
+    injects the window's precomputed normalizer
+    (``train/engine.py::inject_window_num_traj`` — the TPU analog of the
+    reference's cross-rank all_reduce, models/model.py:521-526; the train
+    CLI wires it automatically); without injection it falls back to
+    microbatch-local. The heatmap loss's per-rank-sum + grad-average
+    semantics match either way. ``steps_per_epoch`` counts MICRObatches
+    (loader steps); the LR schedule steps per optimizer update."""
     accum = max(cfg.grad_accum_steps, 1)
     sched_steps = max(-(-steps_per_epoch // accum), 1)
 

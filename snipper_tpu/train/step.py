@@ -84,7 +84,12 @@ def make_train_step(
                 out = mdl.apply({"params": p}, images,
                                 batch.get("mask"), train=True,
                                 rngs={"dropout": rng})
-                total, losses, _ = criterion(out, batch["targets"])
+                # "num_traj" (optional): the accumulation window's exact
+                # normalizer, precomputed from the k microbatch targets
+                # (engine.py::inject_window_num_traj) — reproduces the
+                # reference's all-reduced num_traj (models/model.py:521-526)
+                total, losses, _ = criterion(out, batch["targets"],
+                                             num_traj=batch.get("num_traj"))
                 # windowed sampling drops out-of-window taps; surface the
                 # count so training with a windowed impl can assert
                 # exactness per step
@@ -142,11 +147,19 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     ``jax.make_array_from_process_local_data`` — the leading axis of the
     GLOBAL batch is ``process_count *`` the local leading axis."""
     data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def spec(x):
+        # scalar leaves (e.g. the accumulation-window "num_traj"
+        # normalizer) have no batch axis — replicate them
+        return repl if jnp.ndim(x) == 0 else data
+
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, data), batch)
+            lambda x: jax.device_put(x, spec(x)), batch)
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(data, x), batch)
+        lambda x: jax.device_put(x, repl) if jnp.ndim(x) == 0
+        else jax.make_array_from_process_local_data(data, x), batch)
 
 
 def replicate(tree, mesh: Mesh):

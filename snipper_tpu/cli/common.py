@@ -127,7 +127,8 @@ def build_config(args) -> Config:
         raise SystemExit(str(e)) from e
 
 
-def build_dataset(cfg: Config, args, mode: str):
+def build_dataset(cfg: Config, args, mode: str,
+                  device_preprocess: bool = False):
     if args.synthetic or not any((args.posetrack_dir, args.coco_dir,
                                   args.muco_dir, args.jta_dir,
                                   args.panoptic_dir)):
@@ -136,6 +137,10 @@ def build_dataset(cfg: Config, args, mode: str):
         n = getattr(args, "synthetic_samples", None) or (
             64 if mode == "train" else 8)
         overfit = getattr(args, "overfit", False)
+        if device_preprocess:
+            print("NOTE: --device_preprocess ignored for the synthetic "
+                  "dataset (it renders pre-warped frames directly)",
+                  flush=True)
         return SyntheticDataset(
             cfg, n_samples=n,
             seed=0 if (mode == "train" or overfit) else 1,
@@ -146,4 +151,5 @@ def build_dataset(cfg: Config, args, mode: str):
         cfg, mode=mode, posetrack_dir=args.posetrack_dir,
         coco_dir=args.coco_dir, muco_dir=args.muco_dir,
         jta_dir=args.jta_dir, panoptic_dir=args.panoptic_dir,
-        panoptic_protocol=args.panoptic_protocol)
+        panoptic_protocol=args.panoptic_protocol,
+        device_preprocess=device_preprocess)

@@ -39,6 +39,12 @@ def main():
                              "steady-state steps of the FIRST epoch into "
                              "this directory and print the top device ops")
     parser.add_argument("--profile_steps", type=int, default=3)
+    parser.add_argument("--device_preprocess", action="store_true",
+                        help="warp/flip/color the training frames on the "
+                             "TPU inside the jitted step (host stays "
+                             "decode-only — the measured train bottleneck "
+                             "on slow hosts); exact host-path semantics "
+                             "(data/device_preprocess.py)")
     parser.add_argument("--mixed_precision",
                         action=argparse.BooleanOptionalAction, default=True,
                         help="bf16 activations with f32 master weights/"
@@ -60,7 +66,8 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     print(f"config: {cfg}", flush=True)
 
-    train_ds = build_dataset(cfg, args, "train")
+    train_ds = build_dataset(cfg, args, "train",
+                             device_preprocess=args.device_preprocess)
     val_ds = build_dataset(cfg, args, "val")
     # per-process batch: the loader shards indices across processes
     # (DistributedSampler role); shard_batch assembles the global array.

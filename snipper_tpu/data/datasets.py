@@ -57,8 +57,14 @@ class HybridDataset:
                  jta_dir: Optional[str] = None,
                  panoptic_dir: Optional[str] = None,
                  panoptic_protocol: int = 1,
-                 seed: int = 0):
+                 seed: int = 0,
+                 device_preprocess: bool = False):
         self.cfg = cfg
+        # device_preprocess: emit raw uint8 frames + per-frame folded
+        # inverse affines + color scales instead of host-warped images;
+        # the train step warps on the TPU (device_preprocess.py::
+        # warp_train_batch_device) and the host stays decode-only
+        self.device_preprocess = device_preprocess
         self.mode = mode
         self.seq_l = cfg.num_frames
         self.future_seq_l = cfg.num_future_frames
@@ -252,6 +258,24 @@ class HybridDataset:
         return np.stack([bbox_2d_padded_batch(k[:, t])
                          for t in range(self.t_total)], 1)
 
+    def _warp_frames(self, frames: List[np.ndarray], trans_list,
+                     do_flip: bool, color) -> object:
+        """Host warp (default) or the raw-frame record consumed by the
+        device warp path (``device_preprocess=True``)."""
+        if not self.device_preprocess:
+            return [warp_patch(f, tr, self.input_shape, do_flip, color)
+                    for f, tr in zip(frames, trans_list)]
+        from snipper_tpu.data.transforms import fold_flip_inverse
+
+        src_w = frames[0].shape[1]
+        return {
+            "raw": np.stack([np.ascontiguousarray(f, dtype=np.uint8)
+                             for f in frames]),
+            "inv": np.stack([fold_flip_inverse(tr, do_flip, src_w)
+                             for tr in trans_list]),
+            "color": np.asarray(color, np.float32),
+        }
+
     def _finalize(self, imgs: List[np.ndarray], tgt: Dict, inv_trans,
                   dataset: str, filenames, cam_intr=None, image_id=0,
                   video_name="", frame_indices=0) -> Dict:
@@ -276,6 +300,9 @@ class HybridDataset:
                                      self.t_total, 4), np.float32)
         if "bbxes_head" not in tgt:
             tgt["bbxes_head"] = np.zeros_like(tgt["bbxes"])
+        if isinstance(imgs, dict):  # device-preprocess raw record
+            return {"raw_images": imgs["raw"], "warp_inv": imgs["inv"],
+                    "color_scale": imgs["color"], "targets": tgt}
         return {"images": np.stack(imgs).astype(np.float32), "targets": tgt}
 
     # -- posetrack ------------------------------------------------------
@@ -308,8 +335,8 @@ class HybridDataset:
         rot, do_flip, color, bbx, trans, inv_trans = get_aug_config(
             (img_w, img_h), self.input_shape, augment, self.rng)
 
-        imgs = [warp_patch(f, trans, self.input_shape, do_flip, color)
-                for f in frames]
+        imgs = self._warp_frames(frames, [trans] * len(frames),
+                                 do_flip, color)
         kpts_n = [transform_frame_kpts(k, do_flip, img_w, trans,
                                        self.input_shape) for k in kpts]
         tgt = build_trajectories(kpts_n, ids, self.seq_l,
@@ -351,11 +378,10 @@ class HybridDataset:
             trans_l = trans_l * self.t_total
             inv_l = inv_l * self.t_total
 
-        imgs, kpts_list, depth_list = [], [], []
+        imgs = self._warp_frames([img] * self.seq_l, trans_l[:self.seq_l],
+                                 do_flip, color)
+        kpts_list, depth_list = [], []
         for t in range(self.t_total):
-            if t < self.seq_l:
-                imgs.append(warp_patch(img, trans_l[t], self.input_shape,
-                                       do_flip, color))
             k = transform_frame_kpts(kpts2d, do_flip, img_w, trans_l[t],
                                      self.input_shape)
             kpts_list.append(k)
@@ -406,8 +432,8 @@ class HybridDataset:
         img_h, img_w = frames[0].shape[:2]
         rot, do_flip, color, bbx, trans, inv_trans = get_aug_config(
             (img_w, img_h), self.input_shape, augment, self.rng)
-        imgs = [warp_patch(f, trans, self.input_shape, do_flip, color)
-                for f in frames]
+        imgs = self._warp_frames(frames, [trans] * len(frames),
+                                 do_flip, color)
         kpts_n, depths, k3_l = [], [], []
         for k, k3 in zip(kpts, k3s):
             if do_flip:
@@ -465,8 +491,8 @@ class HybridDataset:
         img_h, img_w = frames[0].shape[:2]
         rot, do_flip, color, bbx, trans, inv_trans = get_aug_config(
             (img_w, img_h), self.input_shape, augment, self.rng)
-        imgs = [warp_patch(f, trans, self.input_shape, do_flip, color)
-                for f in frames]
+        imgs = self._warp_frames(frames, [trans] * len(frames),
+                                 do_flip, color)
 
         kpts_n, k3_l, ids_l, depths, bbxs = [], [], [], [], []
         for k, k3, tid in zip(kpts, k3s, ids):

@@ -93,3 +93,62 @@ def preprocess_snippet_device(raw_imgs: np.ndarray, trans: np.ndarray,
     inv = invert_axis_aligned(trans)
     return warp_affine_device(jnp.asarray(raw_imgs), jnp.asarray(inv),
                               tuple(input_shape))
+
+
+def warp_train_batch_device(raw: jax.Array, inv: jax.Array,
+                            color: jax.Array,
+                            out_shape: Tuple[int, int]) -> jax.Array:
+    """GENERAL (rotation-capable) fused train preprocessing on device:
+    flip (folded into ``inv`` by ``transforms.fold_flip_inverse``) +
+    bilinear warp + /255 + per-channel color scale + clip — the device
+    equivalent of the host ``native_ops.warp_patch`` (reference
+    ``generate_patch_image`` + color jitter, ``datasets/transforms.py:
+    137-144``).
+
+    ``raw [B, T, H, W, 3]`` uint8 (zero-PADDED to a shared batch shape —
+    zero padding IS the warp's zero border, so padding needs no size
+    bookkeeping), ``inv [B, T, 2, 3]`` dst->src affines,
+    ``color [B, 3]``. Returns ``[B, T, out_h, out_w, 3]`` float32 in
+    [0, 1].
+
+    The train augmentation rotates (±25°, ``get_aug_config``), which
+    couples the two axes — the separable two-matmul trick of
+    :func:`warp_affine_device` does not apply. The sampling is the
+    4-corner bilinear gather (one batched ``take_along_axis`` per corner
+    over the flattened frame): XLA's TPU gather pays a ~4 KiB tile read
+    per row, bounding this at roughly out_pixels * 4 corners * 4 KiB of
+    HBM traffic — ~10 ms/frame at 600x800, small next to the ~1 s train
+    step it fuses into, and it frees the host core for decoding (the
+    measured train bottleneck on 1-core hosts, BASELINE.md round-5).
+    Meant to be called INSIDE the jitted train step so XLA fuses the
+    normalization into the backbone's first conv input.
+    """
+    out_h, out_w = out_shape
+    B, T, H, W, C = raw.shape
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    m = inv[..., None, None]                       # [B, T, 2, 3, 1, 1]
+    sx = (m[:, :, 0, 0] * xs[None, None, None, :]
+          + m[:, :, 0, 1] * ys[None, None, :, None] + m[:, :, 0, 2])
+    sy = (m[:, :, 1, 0] * xs[None, None, None, :]
+          + m[:, :, 1, 1] * ys[None, None, :, None] + m[:, :, 1, 2])
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    flat = raw.reshape(B, T, H * W, C).astype(jnp.float32)
+    out = jnp.zeros((B, T, out_h, out_w, C), jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            valid = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))
+            idx = (jnp.clip(yi, 0, H - 1) * W
+                   + jnp.clip(xi, 0, W - 1)).astype(jnp.int32)
+            g = jnp.take_along_axis(
+                flat, idx.reshape(B, T, -1, 1), axis=2)
+            w = ((fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+                 * valid)
+            out = out + w[..., None] * g.reshape(B, T, out_h, out_w, C)
+    out = out / 255.0 * color[:, None, None, None, :]
+    return jnp.clip(out, 0.0, 1.0)

@@ -149,12 +149,32 @@ def build_trajectories(
 
 def stack_batch(samples: List[Dict]) -> Dict:
     """Collate host samples into a batch dict of stacked arrays (the jit
-    inputs); per-sample metadata stays a list under 'meta'."""
-    return {
-        "images": np.stack([s["images"] for s in samples]),
+    inputs); per-sample metadata stays a list under 'meta'.
+
+    Device-preprocess samples carry ``raw_images [T, H, W, 3]`` uint8 with
+    per-sample source sizes: they are zero-padded to the batch max rounded
+    up to 128-multiples (bounded recompile count; zero padding IS the
+    device warp's zero border, ``device_preprocess.py``)."""
+    out = {
         "targets": {
             k: np.stack([s["targets"][k] for s in samples])
             for k in ("kpts2d", "depth", "valid")
         },
         "meta": [s["targets"] for s in samples],
     }
+    if "raw_images" in samples[0]:
+        pad_h = max(s["raw_images"].shape[1] for s in samples)
+        pad_w = max(s["raw_images"].shape[2] for s in samples)
+        pad_h = -(-pad_h // 128) * 128
+        pad_w = -(-pad_w // 128) * 128
+        raws = []
+        for s in samples:
+            r = s["raw_images"]
+            raws.append(np.pad(r, ((0, 0), (0, pad_h - r.shape[1]),
+                                   (0, pad_w - r.shape[2]), (0, 0))))
+        out["raw_images"] = np.stack(raws)
+        out["warp_inv"] = np.stack([s["warp_inv"] for s in samples])
+        out["color_scale"] = np.stack([s["color_scale"] for s in samples])
+    else:
+        out["images"] = np.stack([s["images"] for s in samples])
+    return out

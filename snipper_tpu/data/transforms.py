@@ -172,6 +172,24 @@ def warp_affine(img: np.ndarray, trans: np.ndarray,
     return out
 
 
+def fold_flip_inverse(trans: np.ndarray, do_flip: bool,
+                      src_w: int) -> np.ndarray:
+    """dst->src inverse affine with the horizontal flip FOLDED IN.
+
+    ``warp_patch`` flips the source first, then warps with the forward
+    ``trans`` — equivalent to sampling the UNFLIPPED source at
+    ``x_u = (src_w - 1) - x_flipped``. Folding the mirror into the inverse
+    affine lets the device warp consume raw (unflipped) frames with one
+    2x3 matrix per frame and stay bit-equivalent to the host path."""
+    inv = _invert_affine(np.asarray(trans, np.float64))
+    if do_flip:
+        inv = np.stack([
+            np.array([-inv[0, 0], -inv[0, 1], src_w - 1.0 - inv[0, 2]]),
+            inv[1],
+        ])
+    return inv.astype(np.float32)
+
+
 def generate_patch_image(img: np.ndarray, do_flip: bool, trans: np.ndarray,
                          input_shape: Tuple[int, int]) -> np.ndarray:
     """Flip + warp + /255 (reference ``generate_patch_image``)."""

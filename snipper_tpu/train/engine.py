@@ -26,9 +26,11 @@ PCKH_KEYS = ("pckh_root", "pckh_joint")
 
 
 def _to_device_batch(batch: Dict) -> Dict:
-    out = {"images": batch["images"], "targets": batch["targets"]}
-    if "num_traj" in batch:
-        out["num_traj"] = batch["num_traj"]
+    out = {"targets": batch["targets"]}
+    for k in ("images", "raw_images", "warp_inv", "color_scale",
+              "num_traj"):
+        if k in batch:
+            out[k] = batch[k]
     return out
 
 

@@ -74,13 +74,27 @@ def make_train_step(
     def step(state: TrainState, batch: Dict, rng) -> tuple:
         def make_loss_fn(mdl):
             def loss_fn(params):
+                if "raw_images" in batch:
+                    # device-side train preprocessing: warp + flip +
+                    # color fused into this XLA program from raw uint8
+                    # frames (host stays decode-only); exact host-path
+                    # semantics (data/device_preprocess.py)
+                    from snipper_tpu.data.device_preprocess import (
+                        warp_train_batch_device)
+
+                    base_images = warp_train_batch_device(
+                        batch["raw_images"], batch["warp_inv"],
+                        batch["color_scale"],
+                        criterion.cfg.input_shape)
+                else:
+                    base_images = batch["images"]
                 if mixed_precision:
                     p = jax.tree_util.tree_map(
                         lambda a: a.astype(jnp.bfloat16)
                         if a.dtype == jnp.float32 else a, params)
-                    images = batch["images"].astype(jnp.bfloat16)
+                    images = base_images.astype(jnp.bfloat16)
                 else:
-                    p, images = params, batch["images"]
+                    p, images = params, base_images
                 out = mdl.apply({"params": p}, images,
                                 batch.get("mask"), train=True,
                                 rngs={"dropout": rng})

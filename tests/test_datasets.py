@@ -205,3 +205,35 @@ def test_bbxes_are_pixel_space(posetrack_fixture):
     # a real person's padded box spans many pixels; normalized-space boxes
     # could never exceed ~1.2
     assert (wh > 2.0).any(), wh
+
+
+def test_device_preprocess_mode_matches_host_pipeline(posetrack_fixture):
+    """device_preprocess=True emits raw frames + folded affines + color;
+    warping them with the device op must reproduce the host pipeline's
+    images bit-approximately for the SAME augmentation stream (same seed
+    -> same per-sample rot/flip/color), through the real loader collate
+    (zero-padding to 128-multiples)."""
+    import jax.numpy as jnp
+
+    from snipper_tpu.data.device_preprocess import warp_train_batch_device
+    from snipper_tpu.data.loader import DataLoader
+
+    ds_host = HybridDataset(CFG, mode="train",
+                            posetrack_dir=posetrack_fixture, seed=9)
+    ds_dev = HybridDataset(CFG, mode="train",
+                           posetrack_dir=posetrack_fixture, seed=9,
+                           device_preprocess=True)
+    kw = dict(shuffle=False, process_index=0, process_count=1)
+    b_host = next(iter(DataLoader(ds_host, 2, **kw)))
+    b_dev = next(iter(DataLoader(ds_dev, 2, **kw)))
+
+    assert "images" not in b_dev and b_dev["raw_images"].dtype == np.uint8
+    assert b_dev["raw_images"].shape[2] % 128 == 0
+    got = np.asarray(warp_train_batch_device(
+        jnp.asarray(b_dev["raw_images"]), jnp.asarray(b_dev["warp_inv"]),
+        jnp.asarray(b_dev["color_scale"]),
+        (CFG.input_height, CFG.input_width)))
+    np.testing.assert_allclose(got, b_host["images"], atol=2e-3)
+    # targets are identical (host-side keypoint transforms are unchanged)
+    np.testing.assert_allclose(b_dev["targets"]["kpts2d"],
+                               b_host["targets"]["kpts2d"], atol=1e-6)

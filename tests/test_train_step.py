@@ -233,6 +233,28 @@ def test_tp2_matches_tp1_and_unsharded():
         assert abs(g - ref_g) / max(abs(ref_g), 1e-6) < 1e-3, results
 
 
+def test_per_shard_batch_invariance():
+    """Mesh scaling sanity (VERDICT r4 #6): with the batch sharded over N
+    data shards, every device holds exactly B/N rows and the shards are
+    DISJOINT slices covering the global batch — sharding must divide the
+    work, never silently replicate it (replication would fake perfect
+    scaling while doing N times the compute)."""
+    cfg = Config.tiny()
+    mesh = make_mesh(dp_size=8, tp_size=1)
+    batch = _synthetic_batch(cfg, 8, np.random.default_rng(0))
+    sharded = shard_batch(batch, mesh)
+    x = sharded["images"]
+    rows = []
+    for s in x.addressable_shards:
+        assert s.data.shape[0] == 1, s.data.shape
+        rows.append(s.index[0].start or 0)
+    assert sorted(rows) == list(range(8))
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        np.testing.assert_array_equal(np.asarray(s.data)[0],
+                                      np.asarray(batch["images"][start]))
+
+
 def test_grad_accum_matches_big_batch():
     """grad_accum_steps=k over k microbatches reproduces the reference's
     k-rank DDP step (per-rank grads averaged, ONE clip+AdamW update,

@@ -35,6 +35,10 @@ import time
 import numpy as np
 
 A100_BASELINE_SNIPPETS_PER_SEC = 10.0  # estimate; see BASELINE.md
+# the estimate's uncertainty bracket (1-CPU-core torch run x typical
+# CPU:A100 ratios, BASELINE.md "A100 baseline estimate"): vs_baseline
+# inherits it, so the record carries it as data, not only prose
+A100_BASELINE_BRACKET = (5.0, 14.0)
 
 
 def _wait_for_backend(attempts: int = None, sleep_s: float = None):
@@ -266,6 +270,43 @@ def main():
         except Exception as e:  # noqa: BLE001
             configs[f"{preset}"] = f"FAIL {type(e).__name__}"
 
+    # ---- opt-in serving fast-profile sweep (VERDICT r4 #3) ----------------
+    # SNIPPER_BENCH_FAST="m3|enc4,p2,r480|..." times canonical_t4 under each
+    # infer/fast.py profile (ExactnessGuard-settled); off by default — every
+    # profile costs a canonical-scale compile. Measured table + accuracy
+    # deltas: BASELINE.md "Fast serving profiles".
+    fast = {}
+    for spec in [s for s in os.environ.get("SNIPPER_BENCH_FAST", "")
+                 .split("|") if s.strip()]:
+        try:
+            from snipper_tpu.infer.fast import fast_profiles
+
+            fcfg, transform = fast_profiles(
+                Config.canonical_t4().replace(deform_impl="windowed"), spec)
+            fparams = transform(params_bf16)
+            fx = jnp.asarray(rng.uniform(
+                0, 1, (1, fcfg.num_frames, fcfg.input_height,
+                       fcfg.input_width, 3)), jnp.bfloat16)
+
+            def fbuild(c, p=fparams):
+                from snipper_tpu.models.snipper import build_model as bm
+
+                return jax.jit(lambda xx: bm(c).apply({"params": p}, xx))
+
+            fguard = ExactnessGuard(fcfg, fbuild)
+            np.asarray(fguard(fx)["pred_logits"][..., :1]
+                       .astype(jnp.float32))
+            ffwd = fguard.forward
+            best = 0.0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fouts = [ffwd(fx)["pred_logits"] for _ in range(12)]
+                np.asarray(fouts[-1][..., :1].astype(jnp.float32))
+                best = max(best, 12 / (time.perf_counter() - t0))
+            fast[spec] = round(best, 2)
+        except Exception as e:  # noqa: BLE001
+            fast[spec] = f"FAIL {type(e).__name__}"
+
     # analytic hardware context (BASELINE.md "Analytic cost": XLA
     # cost_analysis of the canonical T=4 forward, exact sampling — 1.27
     # TFLOP / 50.7 GB accessed -> 62 ms/snippet HBM floor at 819 GB/s), so
@@ -276,6 +317,10 @@ def main():
         "value": round(sps, 3),
         "unit": "snippets/s",
         "vs_baseline": round(sps / A100_BASELINE_SNIPPETS_PER_SEC, 3),
+        # the A100 estimate's bracket, propagated: [sps/14, sps/5]
+        "baseline_bracket": list(A100_BASELINE_BRACKET),
+        "vs_baseline_bracket": [round(sps / A100_BASELINE_BRACKET[1], 3),
+                                round(sps / A100_BASELINE_BRACKET[0], 3)],
         "batch_size": 1,
         "dtype": "bfloat16",
         "weights": weights,
@@ -291,6 +336,7 @@ def main():
                                       else train_ms),
         "train_step_passes_ms": train_passes,
         "configs_snippets_per_sec": configs,
+        "fast_snippets_per_sec": fast,
         "note": "baseline is an estimated A100 PyTorch eager throughput "
                 "(reference publishes no numbers; CPU-ratio bracket "
                 "5-14/s); see BASELINE.md",

@@ -431,6 +431,57 @@ def cmd_meshscale(args):
         assert shard_rows == {1}, shard_rows
 
 
+def cmd_fast(args):
+    """Serving fast-profile throughput (VERDICT r4 #3): a canonical-shape
+    checkpoint transformed by infer/fast.py profiles, each timed through
+    the production ExactnessGuard (windowed sampling). One process, one
+    init — every profile reuses the same full parameter tree, so the
+    relative numbers are weight-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from snipper_tpu.infer.fast import fast_profiles
+    from snipper_tpu.infer.pipeline import ExactnessGuard
+    from snipper_tpu.models.snipper import build_model, init_model
+
+    rng = np.random.default_rng(0)
+    base = make_cfg(args.preset, deform_impl="windowed")
+    _, params_full = init_model(base, jax.random.PRNGKey(0))
+    params_full = bf16_params(params_full)
+    base_sps = None
+    for spec in args.specs.split("|"):
+        spec = spec.strip()
+        try:
+            if spec in ("", "base"):
+                cfg, params, label = base, params_full, "base"
+            else:
+                cfg, transform = fast_profiles(base, spec)
+                params, label = transform(params_full), spec
+            x = jnp.asarray(rng.uniform(
+                0, 1, (args.batch, cfg.num_frames, cfg.input_height,
+                       cfg.input_width, 3)), jnp.bfloat16)
+
+            def build(c, p=params):
+                m = build_model(c)
+                return jax.jit(lambda xx: m.apply({"params": p}, xx))
+
+            guard = ExactnessGuard(cfg, build)
+            readback_scalar(guard(x))   # compile + settle the cascade
+            gcfg, fwd = guard.cfg, guard.forward
+            ms = time_fn(lambda xx: fwd(xx)["pred_logits"], x, K=args.K)
+            sps = 1e3 / (ms / args.batch)
+            if label == "base":
+                base_sps = sps
+            rel = f"  {sps / base_sps:.2f}x base" if base_sps else ""
+            print(f"{label:16s}: {sps:6.2f} snippets/s  "
+                  f"[impl={gcfg.deform_impl} m={gcfg.sampling_margin} "
+                  f"{cfg.input_height}x{cfg.input_width} enc{cfg.enc_layers} "
+                  f"P={cfg.enc_n_points}/{cfg.dec_n_points}]{rel}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{spec}: FAIL {type(e).__name__}: {e}"[:200], flush=True)
+
+
 def cmd_lanegather(args):
     """Hierarchical gather probe (VERDICT r3 #3): per-chunk coarse window
     (already VMEM-staged, as in the windowed2d kernel) + Mosaic's in-tile
@@ -487,6 +538,14 @@ def main():
     sv.add_argument("--preset", default="canonical_t4")
     sv.add_argument("-K", type=int, default=10)
     sv.set_defaults(fn=cmd_serve)
+
+    fa = sub.add_parser("fast")
+    fa.add_argument("--preset", default="canonical_t4")
+    fa.add_argument("--specs", default="base|m3|r480|enc4|p2|enc4,p2|"
+                    "enc4,p2,r480")
+    fa.add_argument("--batch", type=int, default=1)
+    fa.add_argument("-K", type=int, default=12)
+    fa.set_defaults(fn=cmd_fast)
 
     lg = sub.add_parser("lanegather")
     lg.add_argument("-K", type=int, default=8)

@@ -36,6 +36,8 @@ def main():
                         help="write GT-vs-prediction keypoint renders for "
                              "the first eval batches (reference "
                              "engine.py:132-135 save_vis)")
+    from snipper_tpu.infer.fast import PROFILE_HELP
+    parser.add_argument("--fast", type=str, default=None, help=PROFILE_HELP)
     args = parser.parse_args()
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
@@ -45,6 +47,15 @@ def main():
     # An explicit --deform_impl on the command line wins over this default.
     if args.deform_impl is None and cfg.deform_impl == "xla":
         cfg = cfg.replace(deform_impl="pmerged")
+    # serving profiles: checkpoints load under the ORIGINAL config, then the
+    # tree is transformed to the profile architecture (infer/fast.py); the
+    # dataset/eval run under the profile config so the measured metrics ARE
+    # the profile's accuracy
+    load_cfg, fast_transform = cfg, None
+    if args.fast:
+        from snipper_tpu.infer.fast import fast_profiles
+
+        cfg, fast_transform = fast_profiles(cfg, args.fast)
     os.makedirs(args.output_dir, exist_ok=True)
 
     val_ds = build_dataset(cfg, args, "val")
@@ -53,13 +64,17 @@ def main():
 
     if args.pretrained_torch:
         model = build_model(cfg)
-        params = load_torch_checkpoint(args.pretrained_torch, cfg)
+        params = load_torch_checkpoint(args.pretrained_torch, load_cfg)
     elif args.resume:
         model = build_model(cfg)
         params = restore_checkpoint(args.resume, None)["params"]
     else:
-        # random-init smoke run: the one case that needs an init pass
+        # random-init smoke run: the one case that needs an init pass; the
+        # init tree is already profile-shaped — no transform
         model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
+        fast_transform = None
+    if fast_transform is not None:
+        params = fast_transform(params)
 
     crit = SetCriterion(cfg)
     eval_step = make_eval_step(model, crit)

@@ -56,6 +56,8 @@ def main():
                              "but light_t1 gains ~1.4-1.6x at 4 (dispatch "
                              "overhead amortized; BASELINE.md)")
     parser.add_argument("--preset", type=str, default="canonical_t4")
+    from snipper_tpu.infer.fast import PROFILE_HELP
+    parser.add_argument("--fast", type=str, default=None, help=PROFILE_HELP)
     args = parser.parse_args()
     if args.snippet_batch < 1:
         parser.error("--snippet_batch must be >= 1")
@@ -71,6 +73,17 @@ def main():
     # An explicit --deform_impl on the command line wins over this default.
     if args.deform_impl is None and cfg.deform_impl in ("pmerged", "xla"):
         cfg = cfg.replace(deform_impl="windowed")
+    # serving profiles: the checkpoint loads under the ORIGINAL config and
+    # is then transformed to the profile architecture (infer/fast.py)
+    load_cfg, fast_transform = cfg, None
+    if args.fast:
+        from snipper_tpu.infer.fast import fast_profiles
+
+        cfg, fast_transform = fast_profiles(cfg, args.fast)
+        print(f"fast profiles {args.fast}: input "
+              f"{cfg.input_height}x{cfg.input_width}, enc {cfg.enc_layers}, "
+              f"points {cfg.enc_n_points}/{cfg.dec_n_points}, margin "
+              f"{cfg.sampling_margin}", flush=True)
     os.makedirs(args.output_dir, exist_ok=True)
     if args.video:
         from snipper_tpu.infer.pipeline import extract_video_frames
@@ -82,13 +95,17 @@ def main():
 
     if args.pretrained_torch:
         model = build_model(cfg)
-        params = load_torch_checkpoint(args.pretrained_torch, cfg)
+        params = load_torch_checkpoint(args.pretrained_torch, load_cfg)
     elif args.resume:
         model = build_model(cfg)
         params = restore_checkpoint(args.resume, None)["params"]
     else:
-        # demo/random-init run: the one case that needs an init pass
+        # demo/random-init run: the one case that needs an init pass; the
+        # init tree is already profile-shaped — no transform
         model, params = init_model(cfg, jax.random.PRNGKey(0))
+        fast_transform = None
+    if fast_transform is not None:
+        params = fast_transform(params)
 
     frame_indices, all_files = snippet_index(args.data_dir, cfg.num_frames,
                                              args.seq_gap)

@@ -394,7 +394,11 @@ def cmd_meshscale(args):
 
     from snipper_tpu.models.snipper import init_model
 
-    cfg = make_cfg(args.preset, deform_impl=args.impl)
+    over = {"deform_impl": args.impl}
+    if args.size:
+        h, w = (int(v) for v in args.size.split("x"))
+        over.update(input_height=h, input_width=w)
+    cfg = make_cfg(args.preset, **over)
     model, params = init_model(cfg, jax.random.PRNGKey(0))
     devs = jax.devices()
     rng = np.random.default_rng(0)
@@ -554,6 +558,10 @@ def main():
     ms = sub.add_parser("meshscale")
     ms.add_argument("--preset", default="light_t4")
     ms.add_argument("--impl", default="windowed")
+    ms.add_argument("--size", default=None,
+                    help="HxW input override (e.g. 300x400) — the CPU mesh "
+                         "cannot execute canonical 600x800 (40 s collective "
+                         "rendezvous timeout, see __graft_entry__)")
     ms.add_argument("-K", type=int, default=4)
     ms.set_defaults(fn=cmd_meshscale)
 

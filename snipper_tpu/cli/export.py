@@ -44,6 +44,8 @@ def main():
                         help="embed weights at this dtype (bfloat16 halves "
                              "the artifact and matches the benched "
                              "inference precision)")
+    from snipper_tpu.infer.fast import PROFILE_HELP
+    parser.add_argument("--fast", type=str, default=None, help=PROFILE_HELP)
     args = parser.parse_args()
     from snipper_tpu.cli.common import respect_platform_env
     respect_platform_env()
@@ -52,13 +54,31 @@ def main():
     # always-exact pmerged path unless the user explicitly picked an impl
     if args.deform_impl is None:
         cfg = cfg.replace(deform_impl="pmerged")
+    # serving profiles: the checkpoint loads under the ORIGINAL config and
+    # the tree is transformed before export (infer/fast.py). A static
+    # artifact cannot run the m{N} exactness cascade — margins below the
+    # checkpoint's needs would silently drop taps — so the always-exact
+    # pmerged default above is what m-profiles would bypass; reject them.
+    load_cfg, fast_transform = cfg, None
+    if args.fast:
+        from snipper_tpu.infer.fast import fast_profiles
+
+        if any(s.strip().startswith("m") for s in args.fast.split(",")):
+            parser.error("--fast m{N} needs the runtime exactness cascade; "
+                         "exported artifacts are static — use r/enc/p "
+                         "profiles (or export --deform_impl windowed "
+                         "explicitly at your own risk)")
+        cfg, fast_transform = fast_profiles(cfg, args.fast)
 
     if args.pretrained_torch:
-        params = load_torch_checkpoint(args.pretrained_torch, cfg)
+        params = load_torch_checkpoint(args.pretrained_torch, load_cfg)
     elif args.resume:
         params = restore_checkpoint(args.resume, None)["params"]
     else:
         _, params = init_model(cfg, jax.random.PRNGKey(0))
+        fast_transform = None
+    if fast_transform is not None:
+        params = fast_transform(params)
     if args.param_dtype == "bfloat16":
         import jax.numpy as jnp
 

@@ -109,6 +109,12 @@ class SyntheticDataset:
         self.n = n_samples
         self.seed = seed
         self.distinct = distinct
+        # overfit runs revisit the same few indices hundreds of times; the
+        # full-grid gaussian render costs ~1-2 s/sample at canonical
+        # 600x800, so cache the small fixed set (samples are deterministic
+        # per index and consumers stack copies, never mutate in place)
+        self._cache: Dict[int, Dict] | None = (
+            {} if distinct and distinct <= 64 else None)
 
     def __len__(self):
         return self.n
@@ -116,8 +122,13 @@ class SyntheticDataset:
     def __getitem__(self, idx: int) -> Dict:
         if self.distinct:
             idx = idx % self.distinct
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.default_rng(self.seed * 100_003 + idx)
-        return make_sample(self.cfg, rng)
+        sample = make_sample(self.cfg, rng)
+        if self._cache is not None:
+            self._cache[idx] = sample
+        return sample
 
 
 def batches(cfg: Config, batch_size: int, seed: int = 0,

@@ -95,3 +95,24 @@ def test_export_cli(tmp_path, monkeypatch, capsys):
                  np.float32)
     o = run(x)
     assert np.isfinite(np.asarray(o["pred_kpts2d"], np.float32)).all()
+
+    # --fast profile artifact: the checkpoint loads full-shape, the tree is
+    # transformed, and the artifact serves at the PROFILE's input shape
+    out2 = str(tmp_path / "model_fast.stablehlo")
+    monkeypatch.setattr(sys, "argv", [
+        "export", "--preset", "tiny", "--output", out2,
+        "--resume", ckpt, "--fast", "p2,r48"])
+    export_cli.main()
+    run2 = load_exported(out2)
+    x2 = np.zeros((1, cfg.num_frames, 48, 72, 3), np.float32)
+    o2 = run2(x2)
+    assert np.isfinite(np.asarray(o2["pred_kpts2d"], np.float32)).all()
+    with pytest.raises(Exception):
+        run2(x)  # the full-resolution shape is not this artifact's contract
+
+    # m-profiles cannot ship in a static artifact (no runtime cascade)
+    monkeypatch.setattr(sys, "argv", [
+        "export", "--preset", "tiny", "--output", out2,
+        "--resume", ckpt, "--fast", "m3"])
+    with pytest.raises(SystemExit):
+        export_cli.main()

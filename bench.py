@@ -270,13 +270,15 @@ def main():
         except Exception as e:  # noqa: BLE001
             configs[f"{preset}"] = f"FAIL {type(e).__name__}"
 
-    # ---- opt-in serving fast-profile sweep (VERDICT r4 #3) ----------------
+    # ---- serving fast-profile sweep (VERDICT r4 #3) -----------------------
     # SNIPPER_BENCH_FAST="m3|enc4,p2,r480|..." times canonical_t4 under each
-    # infer/fast.py profile (ExactnessGuard-settled); off by default — every
-    # profile costs a canonical-scale compile. Measured table + accuracy
-    # deltas: BASELINE.md "Fast serving profiles".
+    # infer/fast.py profile (ExactnessGuard-settled). Default: the
+    # recommended p2,r480 profile only (-0.002 3DPCK on the overfit
+    # protocol; one extra compile, warm-cached after any probe/bench run).
+    # "" disables. Measured table + accuracy deltas: BASELINE.md "Fast
+    # serving profiles".
     fast = {}
-    for spec in [s for s in os.environ.get("SNIPPER_BENCH_FAST", "")
+    for spec in [s for s in os.environ.get("SNIPPER_BENCH_FAST", "p2,r480")
                  .split("|") if s.strip()]:
         try:
             from snipper_tpu.infer.fast import fast_profiles

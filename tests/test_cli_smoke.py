@@ -85,3 +85,51 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     assert 1 in epochs_logged, epochs_logged
     assert any(c.startswith("checkpoint0001")
                for c in os.listdir(os.path.join(out, "ckpts")))
+
+
+@pytest.mark.slow
+def test_fast_profiles_through_eval_and_infer_cli(tmp_path, monkeypatch):
+    """--fast on the eval/infer CLIs: the checkpoint loads under the full
+    config, the tree transform applies, and the profile architecture runs
+    end to end (flax's strict param checking makes a wrong transform fail
+    loudly). The TPU-scale equivalent is the round-5 measured sweep
+    (BASELINE.md 'Fast serving profiles')."""
+    import jax
+    import numpy as np
+
+    from snipper_tpu.config import Config
+    from snipper_tpu.models.snipper import init_model
+    from snipper_tpu.train.checkpoint import save_checkpoint
+
+    _, params = init_model(Config.tiny(), jax.random.PRNGKey(11))
+    ck = save_checkpoint(str(tmp_path / "ckpts"), {"params": params}, 0)
+
+    from snipper_tpu.cli import eval as eval_cli
+
+    eout = str(tmp_path / "eval_fast")
+    _run_main(eval_cli, [
+        "eval", "--preset", "tiny", "--synthetic", "--synthetic_samples",
+        "2", "--num_workers", "0", "--resume", ck, "--fast", "p2,r48",
+        "--output_dir", eout], monkeypatch)
+    stats = json.load(open(os.path.join(eout, "eval_stats.json")))
+    assert "loss_total" in stats
+
+    # frames for the infer leg (tiny T=2, gap 2 -> 2 snippets over 5)
+    from PIL import Image
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 255, (40, 60, 3), np.uint8,
+                                     endpoint=True)).save(
+            frames / f"{i:03d}.jpg")
+
+    from snipper_tpu.cli import infer as infer_cli
+
+    iout = str(tmp_path / "infer_fast")
+    _run_main(infer_cli, [
+        "infer", "--preset", "tiny", "--data_dir", str(frames),
+        "--seq_gap", "2", "--resume", ck, "--fast", "p2,r48",
+        "--output_dir", iout], monkeypatch)
+    assert os.path.exists(os.path.join(iout, "tracks.pkl"))
